@@ -134,6 +134,14 @@ def serialize_term(term: Term) -> str:
     raise ValueError(f"unknown term kind: {term!r}")
 
 
+def _simple_value(term: Term) -> str:
+    """Column value for a term: raw value for iri/bnode/var, canonical
+    string otherwise (literal subjects/predicates are N3-only corners)."""
+    if term[0] in ("iri", "bnode", "var"):
+        return term[1]
+    return serialize_term(term)
+
+
 def quad_to_row(
     doc_id: str,
     s: Term,
@@ -144,7 +152,8 @@ def quad_to_row(
     p_off: int = -1,
     o_off: int = -1,
 ) -> tuple:
-    """Flatten a quad into the ``triples`` table row layout (FIXTURES.md §3)."""
+    """Flatten a quad into the ``triples`` table row layout (FIXTURES.md §3,
+    plus a ``p_kind`` column because N3 predicates may be variables)."""
     o_kind = o[0]
     if o_kind == "literal":
         o_val, o_lang, o_dt = o[1], o[2], o[3]
@@ -159,8 +168,9 @@ def quad_to_row(
     return (
         doc_id,
         s[0],
-        s[1] if s[0] != "tripleterm" else serialize_term(s),
-        p[1],
+        _simple_value(s),
+        p[0],
+        _simple_value(p),
         o_kind,
         o_val,
         o_lang,
@@ -176,13 +186,14 @@ def quad_to_row(
 def row_to_quad(row) -> tuple:
     """Inverse of :func:`quad_to_row` (lineage offsets dropped).
 
-    Accepts any sequence laid out per FIXTURES.md §3. Triple-term objects
-    are re-parsed from their canonical string by the golden NT parser.
+    Accepts any sequence laid out per FIXTURES.md §3 + p_kind. Triple-term
+    objects are re-parsed from their canonical string by the golden parser.
     """
     from .golden import parse_term_string  # late import to avoid cycle
 
-    _, s_kind, s, p, o_kind, o, o_lang, o_dt, g_kind, g = row[:10]
-    s_term = parse_term_string(s) if s_kind == "tripleterm" else (s_kind, s)
+    _, s_kind, s, p_kind, p, o_kind, o, o_lang, o_dt, g_kind, g = row[:11]
+    s_term = parse_term_string(s) if s_kind in ("tripleterm", "literal") else (s_kind, s)
+    p_term = parse_term_string(p) if p_kind in ("tripleterm", "literal") else (p_kind, p)
     if o_kind == "literal":
         o_term = ("literal", o, o_lang or None, o_dt or None)
     elif o_kind == "tripleterm":
@@ -190,4 +201,4 @@ def row_to_quad(row) -> tuple:
     else:
         o_term = (o_kind, o)
     g_term = None if g_kind is None else (g_kind, g)
-    return (s_term, ("iri", p), o_term, g_term)
+    return (s_term, p_term, o_term, g_term)
