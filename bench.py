@@ -1,0 +1,114 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline pipeline + representative queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "extract_triples_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ..., ...}
+
+The primary metric is extraction throughput (triples/sec) over the W3C
+fixture corpus replicated ``$SPARK_GRAFT_REPLICATE`` times (default 20)
+— the corpus BASELINE.json's metric is defined on. Per-query timings
+cover each operator family. ``$SPARK_GRAFT_CPUS`` is the scaling knob:
+run at 8 and 32 on the same input to evidence the N→4N scaling-
+efficiency criterion (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("mentor-rdf-parsers-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from mentor_rdf_parsers_spark.operators.extract import extract_triples, split_extract
+    from mentor_rdf_parsers_spark.sources.fixtures import load_fixture_documents
+
+    timings: dict[str, float] = {}
+
+    # --- headline: extraction throughput over the W3C fixture corpus ---
+    docs = load_fixture_documents(
+        spark, replicate=replicate, include_negative=True, partitions=cpus * 2
+    ).persist()
+    n_docs = docs.count()  # materialize input outside the timed window
+    t0 = time.time()
+    triples, errors = split_extract(extract_triples(docs))
+    n_triples = triples.count()
+    extract_sec = time.time() - t0
+    timings["extract_fixture_corpus"] = round(extract_sec, 3)
+    docs.unpersist()
+
+    # --- testdata pipeline + operator families ---
+    qs = entrymod.queries()
+    bench_queries = [
+        "kg_pred_counts",
+        "kg_sameas_components",
+        "kg_canonical_triples",
+        "dedup_minhash_pairs",
+        "dedup_ngram_jaccard",
+        "text_profile",
+        "ann_cosine_topk",
+        "rel_agg_pricing",
+        "rel_join_topk",
+        "rel_window_topk",
+        "events_sessions",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.agg(F.count("*")).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable no matter what
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    out = {
+        "metric": "extract_triples_per_sec",
+        "value": round(n_triples / extract_sec, 1) if extract_sec > 0 else 0,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "total_sec": total,
+        "cpus": cpus,
+        "fixture_docs": n_docs,
+        "fixture_triples": n_triples,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

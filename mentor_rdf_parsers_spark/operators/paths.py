@@ -1,0 +1,65 @@
+"""Property-path evaluation over the triples table.
+
+The reference parses SPARQL property paths (`/ | ^ * + ? !(…)`,
+/root/reference/src/sparql/parser.ts:1628-1762) but never evaluates
+them; this module is the Spark execution for the recursive ones.
+`p+` / `p*` are iterative transitive closure — Catalyst has no
+recursion, so a driver loop with **path doubling** does it in
+O(log diameter) self-joins (SURVEY.md §4.2), localCheckpoint per
+iteration to cut lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(src, dst) → all pairs (src, dst) connected by a directed path.
+
+    Path doubling: R ← R ∪ (R ∘ R) squares the reachable path length
+    each round, so a 10^6-long chain closes in ~20 joins instead of 10^6.
+    Output is distinct pairs; self-loops only if present in the input.
+    """
+    closure = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        new_pairs = (
+            closure.alias("a")
+            .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        grown = closure.union(new_pairs).distinct().localCheckpoint(eager=True)
+        # fixpoint when no pair was added
+        if grown.count() == closure.count():
+            closure = grown
+            break
+        closure = grown
+    return closure
+
+
+def path_edges(triples: DataFrame, predicate: str, inverse: bool = False) -> DataFrame:
+    """Triples with predicate `p` as an edge list (`^p` swaps ends —
+    the SPARQL inverse path, src/sparql/parser.ts:1744-1752)."""
+    e = triples.where(F.col("p") == predicate)
+    if inverse:
+        return e.select(F.col("o").alias("src"), F.col("s").alias("dst"))
+    return e.select(F.col("s").alias("src"), F.col("o").alias("dst"))
+
+
+def path_sequence(left: DataFrame, right: DataFrame) -> DataFrame:
+    """`p1/p2` sequence path: join on the middle node."""
+    return (
+        left.alias("a")
+        .join(right.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .distinct()
+    )
+
+
+def path_alternative(*paths: DataFrame) -> DataFrame:
+    """`p1|p2` alternative path: union."""
+    out = paths[0]
+    for p in paths[1:]:
+        out = out.union(p)
+    return out.distinct()

@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+* brute-force cosine top-k — the exact baseline; broadcast the (small)
+  query set against the full corpus, rank with a window.
+* LSH-bucketed ANN (random-hyperplane/SimHash-style) — the scale path:
+  sign-bit sketch → bucket equi-join → exact re-rank inside buckets.
+  Hyperplanes are derived deterministically from md5 (seedless, stable
+  across runs/engines — no RNG in the plan).
+
+Dot products use `F.zip_with` + `F.aggregate` in double precision,
+left-to-right — bit-identical to a sequential C loop, which is what the
+DuckDB oracle computes too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim).
+
+    queries is expected small → broadcast; the corpus side streams with
+    no shuffle until the final per-query top-k window (partitioned by
+    query_id, so the window shuffle is |queries|·|corpus| rows wide but
+    k-truncatable by AQE; for huge query sets switch to the LSH path).
+    Self-pairs excluded; ties broken by neighbor id.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_dp).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _hyperplane(bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j is
+    ±1 from the md5 of (bit, j). Seedless and engine-independent."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"hp:{bit}:{j}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    return out
+
+
+def lsh_sketch(vec: Column, dim: int, n_bits: int = 16) -> Column:
+    """Random-hyperplane sign sketch as a long (bit b = sign(v·h_b))."""
+    acc = F.lit(0).cast("long")
+    for b in range(n_bits):
+        plane = _hyperplane(b, dim)
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(d > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, exact re-rank
+    inside. At 100 TB this replaces the cross join with an equi-join on
+    the sketch; recall is tuned via n_bits (fewer bits → bigger buckets).
+    """
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    ).withColumn("bucket", lsh_sketch(F.col("cv"), dim, n_bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_sketch(F.col("qv"), dim, n_bits))
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_dp).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    min_sim: float = 0.95,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the LSH bucket join
+    (a < b, sim ≥ min_sim). The dedup-by-embedding entry point."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", lsh_sketch(F.col("v"), dim, n_bits))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), round_dp).alias("sim"),
+        )
+        .where(F.col("sim") >= min_sim)
+    )

@@ -1,0 +1,315 @@
+"""Tests for the post-extract pipeline operators: linking,
+canonicalization (connected components), dedup family, text stats,
+similarity search, property paths, multimodal plumbing, materialize."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mentor_rdf_parsers_spark.operators.canonicalize import (
+    canonicalize_triples,
+    connected_components,
+)
+from mentor_rdf_parsers_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_first,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+)
+from mentor_rdf_parsers_spark.operators.linking import (
+    link_exact,
+    link_fuzzy,
+    minhash_candidate_pairs,
+)
+from mentor_rdf_parsers_spark.operators.materialize import (
+    read_metrics,
+    read_stage,
+    write_stage,
+)
+from mentor_rdf_parsers_spark.operators.multimodal import (
+    MEDIA,
+    decode_images,
+    media_from_documents,
+    sample_frames,
+)
+from mentor_rdf_parsers_spark.operators.paths import (
+    path_alternative,
+    path_sequence,
+    transitive_closure,
+)
+from mentor_rdf_parsers_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from mentor_rdf_parsers_spark.operators.textstats import text_profile
+
+
+# ---------------------------------------------------------------- CC
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, pair 10-11, self-contained 20-20 loop dropped
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "src long, dst long"
+    )
+    labels = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    # 200-long chain: naive hash-min would need 200 rounds; pointer
+    # doubling must close it within the 50-iteration cap.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    labels = connected_components(edges, max_iter=15)
+    assert labels.select(F.countDistinct("comp")).collect()[0][0] == 1
+    assert labels.where(F.col("comp") != 0).count() == 0
+
+
+def test_canonicalize_triples_collapses_aliases(spark):
+    rows = [
+        # a sameAs b; facts about both; alias-as-object too
+        ("d", "iri", "urn:a", "iri", "http://www.w3.org/2002/07/owl#sameAs",
+         "iri", "urn:b", None, None, None, None, None, None, None),
+        ("d", "iri", "urn:a", "iri", "urn:p", "literal", "x", None, None,
+         None, None, None, None, None),
+        ("d", "iri", "urn:b", "iri", "urn:p", "literal", "x", None, None,
+         None, None, None, None, None),
+        ("d", "iri", "urn:c", "iri", "urn:q", "iri", "urn:b", None, None,
+         None, None, None, None, None),
+    ]
+    cols = ("doc_id string, s_kind string, s string, p_kind string, p string, "
+            "o_kind string, o string, o_lang string, o_dt string, g_kind string, "
+            "g string, s_off int, p_off int, o_off int")
+    t = spark.createDataFrame(rows, cols)
+    out = canonicalize_triples(t).collect()
+    assert all(r["p"] != "http://www.w3.org/2002/07/owl#sameAs" for r in out)
+    # urn:a and urn:b collapse to urn:a (lexical min); duplicate fact deduped
+    facts = {(r["s"], r["p"], r["o"]) for r in out}
+    assert facts == {("urn:a", "urn:p", "x"), ("urn:c", "urn:q", "urn:a")}
+
+
+# ---------------------------------------------------------------- linking
+
+
+def test_link_exact_broadcast(spark):
+    mentions = spark.createDataFrame(
+        [(1, "  Apple INC "), (2, "banana corp"), (3, "unknown co")],
+        "mention_id long, mention string",
+    )
+    dictionary = spark.createDataFrame(
+        [("apple inc", "E1"), ("banana corp", "E2")], "alias string, entity string"
+    )
+    out = {r["mention_id"]: r["entity"] for r in link_exact(mentions, dictionary).collect()}
+    assert out == {1: "E1", 2: "E2", 3: None}
+    plan = link_exact(mentions, dictionary)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_link_fuzzy_minhash_blocking(spark):
+    mentions = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different text about spark execution engines")],
+        "mention_id long, mention string",
+    )
+    dictionary = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog yesterday", "FOX")],
+        "alias string, entity string",
+    )
+    out = link_fuzzy(mentions, dictionary, min_jaccard=0.3).collect()
+    assert len(out) == 1 and out[0]["mention_id"] == "1" and out[0]["entity"] == "FOX"
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),          # exact dup of 1
+        (3, "ALPHA  beta gamma delta epsilon zeta"),         # normalized dup of 1
+        (4, "alpha beta gamma delta epsilon different end"),  # near-dup
+        (5, "totally unrelated words nothing shared here at all"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[1] == 3  # 1,2,3 collapse
+    assert groups[4] == 1 and groups[5] == 1 and groups[6] == 1
+
+
+def test_ngram_jaccard_and_minhash_agree(spark, docs):
+    exact = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= exact
+    cand = {(r["a"], r["b"]) for r in minhash_candidate_pairs(docs, "doc_id", "text").collect()}
+    # identical shingle sets (jaccard 1.0) collide in EVERY band — LSH
+    # must always surface them; mid-jaccard pairs are only probabilistic
+    assert {(1, 2), (1, 3), (2, 3)} <= cand
+    verified = {(r["a"], r["b"]) for r in dedup_minhash_lsh(docs, min_jaccard=0.99).collect()}
+    assert verified == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_dedup_simhash_identical_texts_same_fingerprint(spark, docs):
+    out = {r["id"]: r["simhash"] for r in dedup_simhash(docs).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[1] != out[5]
+
+
+def test_dedup_keep_first(spark, docs):
+    pairs = dedup_minhash_lsh(docs, min_jaccard=0.99)
+    kept = sorted(r["doc_id"] for r in dedup_keep_first(docs, pairs).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+# ---------------------------------------------------------------- textstats
+
+
+def test_text_profile(spark):
+    rows = [
+        (1, "the cat sat of the mat and it is that for"),
+        (2, "der hund ist nicht auf und der die das zu"),
+        (3, ""),
+        (4, "x9y!!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in text_profile(df).collect()}
+    assert out[1]["lang_id"] == "en"
+    assert out[2]["lang_id"] == "de"
+    assert out[3]["lang_id"] == "und"
+    assert out[1]["n_tokens"] == 11
+    assert out[3]["n_tokens"] == 0
+    assert out[4]["n_subtokens"] == 3  # x / 9 / y
+    assert 0.0 <= out[1]["quality"] <= 1.0
+    assert out[3]["quality"] == 0.0
+    # fingerprint is word-order/dup-insensitive
+    df2 = spark.createDataFrame(
+        [(1, "cat the sat"), (2, "the the cat sat")], "doc_id long, text string"
+    )
+    fps = [r["fingerprint"] for r in text_profile(df2).collect()]
+    assert fps[0] == fps[1]
+
+
+# ---------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.2, 0.0]),   # near 2
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # anti 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    out = brute_force_topk(vectors, vectors.where("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rk"])] == [1, 2]
+    sims = {r["neighbor_id"]: r["sim"] for r in out}
+    assert math.isclose(sims[1], 0.99 / math.sqrt(0.99**2 + 0.1**2), abs_tol=1e-6)
+
+
+def test_lsh_topk_finds_bucket_neighbor(spark, vectors):
+    out = lsh_topk(vectors, vectors.where("vec_id = 0"), dim=4, k=2, n_bits=2)
+    rows = out.collect()
+    # bucket join is approximate but must never return the query itself
+    assert all(r["neighbor_id"] != 0 for r in rows)
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    out = embedding_near_dup_pairs(vectors, dim=4, min_sim=0.9, n_bits=2).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert (0, 1) in pairs
+    assert all(r["sim"] >= 0.9 for r in out)
+
+
+# ---------------------------------------------------------------- paths
+
+
+def test_transitive_closure_chain(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)], "src long, dst long")
+    closure = transitive_closure(edges)
+    assert closure.count() == 65 * 64 // 2
+    assert closure.where("src = 0").count() == 64
+
+
+def test_path_sequence_and_alternative(spark):
+    e1 = spark.createDataFrame([("a", "b")], "src string, dst string")
+    e2 = spark.createDataFrame([("b", "c")], "src string, dst string")
+    seq = path_sequence(e1, e2).collect()
+    assert [(r["src"], r["dst"]) for r in seq] == [("a", "c")]
+    alt = path_alternative(e1, e2)
+    assert alt.count() == 2
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark):
+    rows = [("m1", "image", b"\x89PNGfakebytes" * 10, "image/png"),
+            ("m2", "image", None, "image/png"),
+            ("v1", "video", b"0123456789" * 8, "video/mp4")]
+    media = spark.createDataFrame(rows, MEDIA)
+    meta = decode_images(media).collect()
+    assert {r["media_id"] for r in meta} == {"m1", "m2"}
+    m1 = next(r for r in meta if r["media_id"] == "m1")
+    assert m1["n_bytes"] == 130 and 16 <= m1["width"] <= 255
+    assert len(m1["features"]) == 8
+    # deterministic across runs
+    again = next(r for r in decode_images(media).collect() if r["media_id"] == "m1")
+    assert again["sha"] == m1["sha"] and again["features"] == m1["features"]
+    frames = sample_frames(media, every_n=10, max_frames=4).collect()
+    assert {r["media_id"] for r in frames} == {"v1"}
+    assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2, 3]
+    with pytest.raises(NotImplementedError):
+        decode_images(media, strict_codecs=True)
+
+
+def test_media_from_documents_passthrough(spark):
+    from mentor_rdf_parsers_spark.sources.fixtures import load_fixture_documents
+
+    docs = load_fixture_documents(spark, syntaxes=["ntriples"])
+    media = media_from_documents(docs)
+    n_media_docs = docs.where(
+        F.exists("spans", lambda s: s["kind"] == "media")
+    ).count()
+    assert media.count() == n_media_docs > 0
+
+
+# ---------------------------------------------------------------- materialize
+
+
+def test_write_stage_resume_and_metrics(spark, tmp_path):
+    rows = [("d1", "iri", f"urn:s{i % 7}", "iri", "urn:p", "literal", str(i),
+             None, None, None, None, None, None, None) for i in range(100)]
+    cols = ("doc_id string, s_kind string, s string, p_kind string, p string, "
+            "o_kind string, o string, o_lang string, o_dt string, g_kind string, "
+            "g string, s_off int, p_off int, o_off int")
+    t = spark.createDataFrame(rows, cols)
+    base = str(tmp_path / "graph")
+    assert write_stage(t, base, "triples", n_buckets=8) is True
+    # resume: second call is a no-op
+    assert write_stage(t, base, "triples", n_buckets=8) is False
+    back = read_stage(spark, base, "triples")
+    assert back.count() == 100
+    assert "s_bucket" in back.columns
+    # same subject always lands in the same bucket
+    assert back.groupBy("s").agg(F.countDistinct("s_bucket").alias("nb")) \
+        .where("nb > 1").count() == 0
+    metrics = read_metrics(spark, base, "triples")
+    rows_m = metrics.collect()
+    assert sum(r["triple_count"] for r in rows_m) == 100
+    assert all(r["stage"] == "triples" for r in rows_m)
