@@ -67,11 +67,24 @@ EMB_DIM = 64
 # ---------------------------------------------------------------------------
 
 
+_TRIPLES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full extract pipeline over the rendered testdata documents."""
-    docs = documents_as_rdf_docs(spark, sf_dir)
-    triples, _errors = split_extract(extract_triples(docs))
-    return triples
+    """Full extract pipeline over the rendered testdata documents.
+
+    Persisted per (session, sf_dir): downstream queries (CC loop,
+    canonicalization, BGP self-joins) reference the triples DataFrame
+    several times, and without a persist every reference re-runs the
+    parse UDF stage."""
+    key = (id(spark), sf_dir)
+    if key not in _TRIPLES_CACHE:
+        docs = documents_as_rdf_docs(spark, sf_dir)
+        triples, _errors = split_extract(extract_triples(docs))
+        triples = triples.persist()
+        triples.count()
+        _TRIPLES_CACHE[key] = triples
+    return _TRIPLES_CACHE[key]
 
 
 def _doc_num(col):

@@ -51,6 +51,38 @@ def sameas_edges(triples: DataFrame) -> DataFrame:
     )
 
 
+def _cut(df: DataFrame, checkpoint_dir: Optional[str]) -> DataFrame:
+    return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint(eager=True)
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Kiveris large-star: every neighbor v > u re-attaches to
+    m(u) = min(N(u) ∪ {u})."""
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Kiveris small-star over the ≤-neighborhood: for each u, all
+    neighbors v ≤ u (and u itself) attach to m = min(N≤(u) ∪ {u})."""
+    le = sym.where(F.col("v") < F.col("u"))
+    m = le.groupBy("u").agg(F.min("v").alias("m"))
+    attach_nbrs = (
+        le.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    attach_self = m.select(F.col("u"), F.col("m").alias("v"))
+    return attach_nbrs.union(attach_self).where(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
@@ -59,70 +91,55 @@ def connected_components(
     """(src:long, dst:long) undirected edges → (node:long, comp:long)
     where comp = min node id of the component.
 
-    Deterministic; returns one row per distinct node.  ``checkpoint_dir``
-    switches from ``localCheckpoint`` (fast, session-scoped) to reliable
-    checkpoints so a killed job can resume from the last materialized
-    label table (north_rule resumability).
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): converges in O(log n) rounds
+    for ANY id distribution — naive hash-min label propagation is
+    O(diameter), which on a 10^6-long alias chain with hashed (randomly
+    ordered) ids means 10^6 shuffle rounds; this needs ~20.  Each round
+    is one groupBy + one equi-join per phase, lineage cut per round
+    (``checkpoint_dir`` switches to reliable checkpoints for the
+    north_rule's resumability; default is session-local).
+
+    Deterministic; returns one row per distinct node of the edge set.
     """
     spark = edges.sparkSession
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _cut(sym, checkpoint_dir)
+    all_nodes = _cut(sym.select(F.col("u").alias("node")).distinct(), checkpoint_dir)
 
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-    )
-    labels = labels.localCheckpoint(eager=True)
-
+    star = sym
+    prev_sig = None
     for _ in range(max_iter):
-        # 1. neighbor-min: for each dst, min comp over its neighbors' labels
-        nbr_min = (
-            sym.join(labels, sym.src == labels.node)
-            .groupBy(sym.dst.alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        stepped = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            )
-        )
-        # 2. pointer jump: comp ← comp[comp]
-        l2 = stepped.select(
-            F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
-        )
-        jumped = (
-            stepped.join(l2, stepped.comp == l2.pnode, "left")
-            .select(
-                "node", F.coalesce("pcomp", "comp").alias("comp")
-            )
-        )
-        if checkpoint_dir:
-            jumped = jumped.checkpoint(eager=True)
-        else:
-            jumped = jumped.localCheckpoint(eager=True)
-
-        changed = (
-            jumped.alias("a")
-            .join(labels.alias("b"), "node")
-            .where(F.col("a.comp") != F.col("b.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        # large-star needs the symmetric view; small-star the directed one
+        ls = _large_star(star.union(star.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+        ls = _cut(ls, checkpoint_dir)
+        ss = _small_star(ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+        star = _cut(ss, checkpoint_dir)
+        # convergence: edge set stable — order-insensitive signature via
+        # count + decimal hash-sum (long sums overflow under ANSI mode)
+        sig = star.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
             break
-    return labels
+        prev_sig = sig
+
+    # star edges now point every non-min node at its component min
+    comp = star.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )
 
 
 def canonicalize_triples(
