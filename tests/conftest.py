@@ -53,9 +53,12 @@ def extract_manifest(syntax: str) -> dict:
             for a, b in _PAIR_RE.findall(block):
                 golden.append((str(base / a), str(base / b)))
             paths = _FIXTURE_RE.findall(block)
+            # ".not.toThrowError()" is a POSITIVE assertion (sparql tests);
+            # bare "toThrowError" without the negation is negative.
+            throws = "toThrowError" in block.replace("not.toThrowError", "")
             for p in paths:
                 full = str(base / p)
-                if sign == "-" or "toThrowError" in block:
+                if sign == "-" or throws:
                     negative.add(full)
                 else:
                     positive.add(full)
