@@ -1,0 +1,886 @@
+"""SPARQL → Spark DataFrame executor.
+
+The layer the reference does NOT have (its SPARQL module is parse-only,
+/root/reference/src/index.ts:12): compiles the parser's AST into
+DataFrame plans over the engine's `triples` table, following the mapping
+table in SURVEY.md §2.B:
+
+    BGP                → self-joins of `triples` on shared variables
+    OPTIONAL           → left outer join
+    UNION              → unionByName(allowMissingColumns)
+    MINUS              → left anti join on shared vars
+    FILTER (NOT) EXISTS→ left semi / left anti join
+    FILTER expr        → where()
+    BIND               → withColumn
+    VALUES             → createDataFrame + join (broadcast)
+    GRAPH              → filter/bind on the `g` column
+    GROUP BY + aggs    → groupBy().agg()
+    ORDER/LIMIT/OFFSET → orderBy / limit / row_number window
+    property paths     → join chains; +/* via operators.paths closure
+
+Solution bindings are carried as one struct column per variable:
+``struct<kind string, v string, lang string, dt string>`` with ''
+sentinels for absent lang/dt (struct equality with embedded NULLs would
+poison join keys). Catalyst prunes and reorders the joins; every join
+here is an equi-join on struct columns.
+
+Scale notes: triple-pattern scans push constant s/p/o filters down to
+the storage scan (predicate pushdown visible in `.explain`); selective
+patterns (all-constant or VALUES-bound) stay broadcastable so BGP chains
+plan as broadcast joins; `+`/`*` paths reuse the checkpointa-per-round
+transitive closure from operators.paths.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..operators.paths import transitive_closure
+from .parser import RDF_TYPE, XSD, parse_sparql
+
+TERM = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("v", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("dt", StringType(), False),
+    ]
+)
+
+_NUMERIC_DTS = {
+    XSD + "integer", XSD + "decimal", XSD + "double", XSD + "float",
+    XSD + "int", XSD + "long", XSD + "short", XSD + "byte",
+    XSD + "nonNegativeInteger", XSD + "positiveInteger",
+}
+
+
+class SparqlExecutionError(Exception):
+    pass
+
+
+def _term_struct(kind: Column, v: Column, lang: Column, dt: Column) -> Column:
+    return F.struct(
+        kind.alias("kind"), v.alias("v"),
+        F.coalesce(lang, F.lit("")).alias("lang"),
+        F.coalesce(dt, F.lit("")).alias("dt"),
+    )
+
+
+def _const_term(term) -> Column:
+    """AST constant term → TERM struct literal column."""
+    if term[0] == "iri":
+        return _term_struct(F.lit("iri"), F.lit(term[1]), F.lit(""), F.lit(""))
+    if term[0] == "literal":
+        _, v, lang, dt = term
+        return _term_struct(
+            F.lit("literal"), F.lit(v), F.lit(lang or ""), F.lit(dt or "")
+        )
+    if term[0] == "bnode":
+        # bnode in a query pattern acts as a non-projectable variable;
+        # callers handle that — a *constant* bnode only appears via VALUES
+        return _term_struct(F.lit("bnode"), F.lit(term[1]), F.lit(""), F.lit(""))
+    raise SparqlExecutionError(f"cannot make constant from {term!r}")
+
+
+class Executor:
+    """Compiles one parsed query against a triples DataFrame.
+
+    `triples` must have the engine schema (s_kind, s, p, o_kind, o,
+    o_lang, o_dt, g_kind, g). The default graph is rows with g IS NULL;
+    named graphs are addressed via GRAPH.
+    """
+
+    def __init__(self, triples: DataFrame, spark: Optional[SparkSession] = None):
+        self.triples = triples
+        self.spark = spark or triples.sparkSession
+        self._bn = 0
+
+    # ------------------------------------------------------------------ terms
+    def _fresh(self) -> str:
+        self._bn += 1
+        return f"__v{self._bn}"
+
+    def _scan(self, graph: Optional[object]) -> DataFrame:
+        """Base scan with graph context applied.
+
+        graph=None → default graph (g IS NULL); ('var', name) → named
+        graphs, g bound; ('iri', v) → that named graph."""
+        t = self.triples
+        if graph is None:
+            return t.where(F.col("g").isNull())
+        if graph[0] == "iri":
+            return t.where(F.col("g") == graph[1])
+        return t.where(F.col("g").isNotNull())
+
+    def _pattern_df(self, s, p, o, graph) -> DataFrame:
+        """One triple pattern → DataFrame of variable bindings."""
+        t = self._scan(graph)
+        cond = []
+        proj: dict[str, Column] = {}
+
+        def bind(term, kind_col, v_col, lang_col, dt_col):
+            if term[0] == "var":
+                proj[term[1]] = _term_struct(kind_col, v_col, lang_col, dt_col)
+            elif term[0] == "bnode":
+                # bnode in pattern = fresh variable scoped to the query
+                proj["?" + term[1]] = _term_struct(kind_col, v_col, lang_col, dt_col)
+            elif term[0] == "iri":
+                cond.append((kind_col == "iri") & (v_col == term[1]))
+            elif term[0] == "literal":
+                _, v, lang, dt = term
+                c = (kind_col == "literal") & (v_col == v)
+                c = c & (lang_col.eqNullSafe(F.lit(lang)) if lang else lang_col.isNull())
+                if dt in (XSD + "string", None):
+                    c = c & (dt_col.isNull() | (dt_col == XSD + "string"))
+                else:
+                    c = c & (dt_col == dt)
+                cond.append(c)
+            else:
+                raise SparqlExecutionError(f"unsupported pattern term {term!r}")
+
+        bind(s, F.col("s_kind"), F.col("s"), F.lit(None).cast("string"), F.lit(None).cast("string"))
+        bind(p, F.col("p_kind"), F.col("p"), F.lit(None).cast("string"), F.lit(None).cast("string"))
+        bind(o, F.col("o_kind"), F.col("o"), F.col("o_lang"), F.col("o_dt"))
+        if graph is not None and graph[0] == "var":
+            proj[graph[1]] = _term_struct(
+                F.coalesce(F.col("g_kind"), F.lit("iri")), F.col("g"),
+                F.lit(None).cast("string"), F.lit(None).cast("string"),
+            )
+        for c in cond:
+            t = t.where(c)
+        if not proj:
+            # all-constant pattern: keep existence as a single marker row
+            return t.select(F.lit(1).alias("__exists")).limit(1)
+        return t.select([c.alias(n) for n, c in proj.items()])
+
+    def _path_df(self, s, path, o, graph) -> DataFrame:
+        """Property-path pattern → (start, end) bindings joined to s/o."""
+        pairs = self._path_pairs(path, graph)
+        out_cols = {}
+        if s[0] == "var":
+            out_cols[s[1]] = F.col("__src")
+        if o[0] == "var":
+            out_cols[o[1]] = F.col("__dst")
+        df = pairs
+        if s[0] != "var":
+            df = df.where(F.col("__src") == _const_term(s))
+        if o[0] != "var":
+            df = df.where(F.col("__dst") == _const_term(o))
+        if not out_cols:
+            return df.select(F.lit(1).alias("__exists")).limit(1)
+        return df.select([c.alias(n) for n, c in out_cols.items()])
+
+    def _edge_df(self, pred_iri: str, graph) -> DataFrame:
+        t = self._scan(graph).where(
+            (F.col("p_kind") == "iri") & (F.col("p") == pred_iri)
+        )
+        return t.select(
+            _term_struct(F.col("s_kind"), F.col("s"), F.lit(None), F.lit(None)).alias("__src"),
+            _term_struct(F.col("o_kind"), F.col("o"), F.col("o_lang"), F.col("o_dt")).alias("__dst"),
+        )
+
+    def _path_pairs(self, path, graph) -> DataFrame:
+        if isinstance(path, tuple):  # plain iri predicate
+            return self._edge_df(path[1], graph)
+        op = path["path"]
+        if op == "inv":
+            inner = self._path_pairs(path["inner"], graph)
+            return inner.select(
+                F.col("__dst").alias("__src"), F.col("__src").alias("__dst")
+            )
+        if op == "seq":
+            left = self._path_pairs(path["left"], graph)
+            right = self._path_pairs(path["right"], graph)
+            return (
+                left.alias("l")
+                .join(right.alias("r"), F.col("l.__dst") == F.col("r.__src"))
+                .select(F.col("l.__src").alias("__src"), F.col("r.__dst").alias("__dst"))
+                .distinct()
+            )
+        if op == "alt":
+            return (
+                self._path_pairs(path["left"], graph)
+                .union(self._path_pairs(path["right"], graph))
+                .distinct()
+            )
+        if op == "neg":
+            t = self._scan(graph).where(F.col("p_kind") == "iri")
+            fwd_excl = [e["iri"][1] for e in path["set"] if not e["inv"]]
+            inv_excl = [e["iri"][1] for e in path["set"] if e["inv"]]
+            parts = []
+            if fwd_excl or not inv_excl:
+                fwd = t.where(~F.col("p").isin(fwd_excl) if fwd_excl else F.lit(True))
+                parts.append(fwd.select(
+                    _term_struct(F.col("s_kind"), F.col("s"), F.lit(None), F.lit(None)).alias("__src"),
+                    _term_struct(F.col("o_kind"), F.col("o"), F.col("o_lang"), F.col("o_dt")).alias("__dst"),
+                ))
+            if inv_excl:
+                inv = t.where(~F.col("p").isin(inv_excl))
+                parts.append(inv.select(
+                    _term_struct(F.col("o_kind"), F.col("o"), F.col("o_lang"), F.col("o_dt")).alias("__src"),
+                    _term_struct(F.col("s_kind"), F.col("s"), F.lit(None), F.lit(None)).alias("__dst"),
+                ))
+            out = parts[0]
+            for p_ in parts[1:]:
+                out = out.union(p_)
+            return out.distinct()
+        if op == "mod":
+            inner = self._path_pairs(path["inner"], graph)
+            if path["mod"] == "?":
+                nodes = self._all_nodes(graph)
+                return inner.union(nodes.select(F.col("__n").alias("__src"),
+                                                F.col("__n").alias("__dst"))).distinct()
+            closure = transitive_closure(
+                inner.select(F.xxhash64(F.to_json("__src")).alias("src"),
+                             F.xxhash64(F.to_json("__dst")).alias("dst"))
+            )
+            # map hashed ids back to terms
+            nodes = (
+                inner.select(F.col("__src").alias("__n"))
+                .union(inner.select(F.col("__dst")))
+                .distinct()
+                .withColumn("__id", F.xxhash64(F.to_json("__n")))
+            )
+            pairs = (
+                closure.join(nodes.select(F.col("__id").alias("src"),
+                                          F.col("__n").alias("__src")), "src")
+                .join(nodes.select(F.col("__id").alias("dst"),
+                                   F.col("__n").alias("__dst")), "dst")
+                .select("__src", "__dst")
+            )
+            if path["mod"] == "*":
+                all_nodes = self._all_nodes(graph)
+                pairs = pairs.union(
+                    all_nodes.select(F.col("__n").alias("__src"), F.col("__n").alias("__dst"))
+                ).distinct()
+            return pairs
+        raise SparqlExecutionError(f"unsupported path {path!r}")
+
+    def _all_nodes(self, graph) -> DataFrame:
+        t = self._scan(graph)
+        return (
+            t.select(_term_struct(F.col("s_kind"), F.col("s"), F.lit(None), F.lit(None)).alias("__n"))
+            .union(t.select(_term_struct(F.col("o_kind"), F.col("o"), F.col("o_lang"), F.col("o_dt")).alias("__n")))
+            .distinct()
+        )
+
+    # ------------------------------------------------------------- patterns
+    def _join_bindings(self, left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+        shared = [c for c in left.columns if c in right.columns and not c.startswith("__")]
+        lx = left.drop("__exists") if "__exists" in left.columns else left
+        rx = right.drop("__exists") if "__exists" in right.columns else right
+        if not lx.columns:
+            return rx
+        if not rx.columns:
+            return lx
+        if shared:
+            return lx.join(rx, on=shared, how=how)
+        if how == "inner":
+            return lx.crossJoin(rx)
+        if how == "left":
+            return lx.crossJoin(rx)  # OPTIONAL with no shared vars keeps all
+        raise SparqlExecutionError(f"join {how} without shared vars")
+
+    def _compile_pattern(self, node, graph) -> DataFrame:
+        t = node["type"]
+        if t == "bgp":
+            df: Optional[DataFrame] = None
+            for (s, p, o) in node["triples"]:
+                if isinstance(p, dict):
+                    pat = self._path_df(s, p, o, graph)
+                else:
+                    pat = self._pattern_df(s, p, o, graph)
+                df = pat if df is None else self._join_bindings(df, pat)
+            if df is None:
+                return self.spark.range(1).select(F.lit(1).alias("__exists"))
+            return df
+        if t == "group":
+            df = None
+            filters = []
+            for sub in node["patterns"]:
+                if sub["type"] == "filter":
+                    filters.append(sub["expr"])
+                    continue
+                if sub["type"] == "optional":
+                    inner = self._compile_pattern(sub["pattern"], graph)
+                    base = df if df is not None else self.spark.range(1).select(
+                        F.lit(1).alias("__exists"))
+                    df = self._join_bindings(base, inner, "left")
+                    continue
+                if sub["type"] == "minus":
+                    inner = self._compile_pattern(sub["pattern"], graph)
+                    if df is None:
+                        raise SparqlExecutionError("MINUS with empty left side")
+                    shared = [c for c in df.columns if c in inner.columns]
+                    if shared:
+                        df = df.join(inner.select(shared).distinct(), on=shared,
+                                     how="left_anti")
+                    continue
+                if sub["type"] == "bind":
+                    if df is None:
+                        df = self.spark.range(1).select(F.lit(1).alias("__exists"))
+                    df = df.withColumn(sub["var"], self._expr_term(sub["expr"], df))
+                    if "__exists" in df.columns:
+                        df = df.drop("__exists")
+                    continue
+                inner = self._compile_pattern(sub, graph)
+                df = inner if df is None else self._join_bindings(df, inner)
+            if df is None:
+                df = self.spark.range(1).select(F.lit(1).alias("__exists"))
+            for fexpr in filters:
+                df = self._apply_filter(df, fexpr, graph)
+            return df
+        if t == "optional":
+            return self._compile_pattern(node["pattern"], graph)
+        if t == "union":
+            left = self._compile_pattern(node["left"], graph)
+            right = self._compile_pattern(node["right"], graph)
+            return left.unionByName(right, allowMissingColumns=True)
+        if t == "filter":
+            base = self.spark.range(1).select(F.lit(1).alias("__exists"))
+            return self._apply_filter(base, node["expr"], graph)
+        if t == "graph":
+            return self._compile_pattern(node["pattern"], node["name"])
+        if t == "values":
+            return self._values_df(node)
+        if t == "subselect":
+            return self._run_select(node["query"], keep_structs=True)
+        if t == "minus":
+            raise SparqlExecutionError("MINUS must appear inside a group")
+        if t == "service":
+            raise SparqlExecutionError("SERVICE (federation) is not supported")
+        raise SparqlExecutionError(f"unsupported pattern {t}")
+
+    def _values_df(self, node) -> DataFrame:
+        rows = []
+        for row in node["rows"]:
+            vals = []
+            for term in row:
+                if term is None:
+                    vals.append(None)
+                else:
+                    kind = term[0]
+                    if kind == "literal":
+                        vals.append(("literal", term[1], term[2] or "", term[3] or ""))
+                    elif kind == "iri":
+                        vals.append(("iri", term[1], "", ""))
+                    elif kind == "bnode":
+                        vals.append(("bnode", term[1], "", ""))
+                    elif kind == "tripleterm":
+                        vals.append(("tripleterm", repr(term[1]), "", ""))
+                    else:
+                        raise SparqlExecutionError(f"bad VALUES term {term!r}")
+            rows.append(tuple(vals))
+        schema = StructType(
+            [StructField(v, TERM, True) for v in node["vars"]]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def _apply_filter(self, df: DataFrame, expr, graph) -> DataFrame:
+        if isinstance(expr, dict) and expr.get("op") == "exists":
+            inner = self._compile_pattern(expr["pattern"], graph)
+            shared = [c for c in df.columns if c in inner.columns]
+            how = "left_anti" if expr["neg"] else "left_semi"
+            if shared:
+                return df.join(inner.select(shared).distinct(), on=shared, how=how)
+            has = inner.limit(1).count() > 0
+            keep = (not has) if expr["neg"] else has
+            return df if keep else df.limit(0)
+        return df.where(self._expr_bool(expr, df))
+
+    # ---------------------------------------------------------- expressions
+    def _col(self, df: DataFrame, name: str) -> Column:
+        if name in df.columns:
+            return F.col(name)
+        return F.lit(None).cast(TERM)
+
+    def _expr_term(self, e, df: DataFrame) -> Column:
+        """Expression → TERM struct column."""
+        if isinstance(e, tuple):
+            if e[0] == "var":
+                return self._col(df, e[1])
+            return _const_term(e)
+        op = e["op"]
+        if op == "call":
+            return self._call_term(e, df)
+        if op in ("+", "-", "*", "/", "neg"):
+            n = self._expr_num(e, df)
+            return _term_struct(
+                F.lit("literal"), F.format_string("%s", n.cast("string")),
+                F.lit(""), F.lit(XSD + "double"),
+            )
+        if op in ("=", "!=", "<", ">", "<=", ">=", "&&", "||", "!", "in",
+                  "not in", "exists"):
+            b = self._expr_bool(e, df)
+            return _term_struct(
+                F.lit("literal"),
+                F.when(b, F.lit("true")).otherwise(F.lit("false")),
+                F.lit(""), F.lit(XSD + "boolean"),
+            )
+        raise SparqlExecutionError(f"unsupported expression {op}")
+
+    def _v(self, e, df) -> Column:
+        return self._expr_term(e, df)["v"]
+
+    def _expr_num(self, e, df: DataFrame) -> Column:
+        if isinstance(e, tuple):
+            if e[0] == "var":
+                return self._col(df, e[1])["v"].cast("double")
+            if e[0] == "literal":
+                return F.lit(float(e[1]))
+            raise SparqlExecutionError(f"non-numeric term {e!r}")
+        op = e["op"]
+        if op == "+":
+            return self._expr_num(e["args"][0], df) + self._expr_num(e["args"][1], df)
+        if op == "-":
+            return self._expr_num(e["args"][0], df) - self._expr_num(e["args"][1], df)
+        if op == "*":
+            return self._expr_num(e["args"][0], df) * self._expr_num(e["args"][1], df)
+        if op == "/":
+            return self._expr_num(e["args"][0], df) / self._expr_num(e["args"][1], df)
+        if op == "neg":
+            return -self._expr_num(e["args"][0], df)
+        if op == "call":
+            name = e["name"]
+            if name in ("ABS", "CEIL", "FLOOR", "ROUND"):
+                inner = self._expr_num(e["args"][0], df)
+                return {"ABS": F.abs, "CEIL": F.ceil, "FLOOR": F.floor,
+                        "ROUND": F.round}[name](inner).cast("double")
+            if name == "STRLEN":
+                return F.length(self._v(e["args"][0], df)).cast("double")
+        return self._expr_term(e, df)["v"].cast("double")
+
+    def _numericish(self, e, df) -> tuple[Column, Column]:
+        """(is_numeric, numeric_value) for comparison dispatch."""
+        t = self._expr_term(e, df)
+        isnum = t["dt"].isin(*_NUMERIC_DTS)
+        return isnum, t["v"].cast("double")
+
+    def _expr_bool(self, e, df: DataFrame) -> Column:
+        if isinstance(e, tuple):
+            if e[0] == "var":
+                c = self._col(df, e[1])
+                return (c["dt"] == XSD + "boolean") & (c["v"] == "true")
+            if e[0] == "literal":
+                return F.lit(e[1] == "true")
+            raise SparqlExecutionError(f"non-boolean term {e!r}")
+        op = e["op"]
+        if op == "&&":
+            return self._expr_bool(e["args"][0], df) & self._expr_bool(e["args"][1], df)
+        if op == "||":
+            return self._expr_bool(e["args"][0], df) | self._expr_bool(e["args"][1], df)
+        if op == "!":
+            return ~self._expr_bool(e["args"][0], df)
+        if op in ("=", "!=", "<", ">", "<=", ">="):
+            l, r = e["args"]
+            lt, rt = self._expr_term(l, df), self._expr_term(r, df)
+            lnum, lval = self._numericish(l, df)
+            rnum, rval = self._numericish(r, df)
+            both_num = lnum & rnum
+            if op == "=":
+                return F.when(both_num, lval == rval).otherwise(
+                    (lt["kind"] == rt["kind"]) & (lt["v"] == rt["v"])
+                    & (lt["lang"] == rt["lang"]) & (lt["dt"] == rt["dt"])
+                )
+            if op == "!=":
+                return ~self._expr_bool({"op": "=", "args": e["args"]}, df)
+            cmpmap = {
+                "<": lambda a, b: a < b, ">": lambda a, b: a > b,
+                "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b,
+            }
+            return F.when(both_num, cmpmap[op](lval, rval)).otherwise(
+                cmpmap[op](lt["v"], rt["v"])
+            )
+        if op in ("in", "not in"):
+            target = self._expr_term(e["args"][0], df)
+            opts = [self._expr_term(a, df) for a in e["args"][1:]]
+            cond = F.lit(False)
+            for o in opts:
+                cond = cond | ((target["kind"] == o["kind"]) & (target["v"] == o["v"])
+                               & (target["lang"] == o["lang"]) & (target["dt"] == o["dt"]))
+            return ~cond if op == "not in" else cond
+        if op == "call":
+            return self._call_bool(e, df)
+        if op == "exists":
+            raise SparqlExecutionError("EXISTS must be a top-level filter")
+        raise SparqlExecutionError(f"unsupported boolean expr {op}")
+
+    def _call_bool(self, e, df: DataFrame) -> Column:
+        name = e["name"]
+        args = e["args"]
+        if name == "BOUND":
+            return self._col(df, args[0][1]).isNotNull()
+        if name in ("ISIRI", "ISURI"):
+            return self._expr_term(args[0], df)["kind"] == "iri"
+        if name == "ISBLANK":
+            return self._expr_term(args[0], df)["kind"] == "bnode"
+        if name == "ISLITERAL":
+            return self._expr_term(args[0], df)["kind"] == "literal"
+        if name == "ISNUMERIC":
+            t = self._expr_term(args[0], df)
+            return (t["kind"] == "literal") & t["dt"].isin(*_NUMERIC_DTS)
+        if name == "ISTRIPLE":
+            return self._expr_term(args[0], df)["kind"] == "tripleterm"
+        if name == "REGEX":
+            target = self._v(args[0], df)
+            pat = self._v(args[1], df)
+            if len(args) > 2:
+                flags = self._v(args[2], df)
+                pat = F.concat(F.lit("(?"), flags, F.lit(")"), pat)
+            return F.regexp_like(target, pat)
+        if name == "CONTAINS":
+            return F.contains(self._v(args[0], df), self._v(args[1], df))
+        if name == "STRSTARTS":
+            return F.startswith(self._v(args[0], df), self._v(args[1], df))
+        if name == "STRENDS":
+            return F.endswith(self._v(args[0], df), self._v(args[1], df))
+        if name == "SAMETERM":
+            a = self._expr_term(args[0], df)
+            b = self._expr_term(args[1], df)
+            return (a["kind"] == b["kind"]) & (a["v"] == b["v"]) & \
+                (a["lang"] == b["lang"]) & (a["dt"] == b["dt"])
+        if name == "LANGMATCHES":
+            tag = self._v(args[0], df)
+            rng = self._v(args[1], df)
+            return F.when(rng == "*", tag != "").otherwise(
+                F.lower(tag) == F.lower(rng)
+            )
+        if name in ("HASLANG",):
+            return self._expr_term(args[0], df)["lang"] != ""
+        if name in ("HASLANGDIR",):
+            return self._expr_term(args[0], df)["lang"].contains("--")
+        # boolean-valued fallthrough: treat term as boolean literal
+        t = self._call_term(e, df)
+        return (t["dt"] == XSD + "boolean") & (t["v"] == "true")
+
+    def _call_term(self, e, df: DataFrame) -> Column:
+        name = e["name"]
+        args = e["args"]
+
+        def lit_str(c: Column) -> Column:
+            return _term_struct(F.lit("literal"), c, F.lit(""), F.lit(""))
+
+        if name == "STR":
+            return lit_str(self._expr_term(args[0], df)["v"])
+        if name == "LANG":
+            return lit_str(self._expr_term(args[0], df)["lang"])
+        if name == "LANGDIR":
+            lang = self._expr_term(args[0], df)["lang"]
+            return lit_str(
+                F.when(lang.contains("--"), F.substring_index(lang, "--", -1))
+                .otherwise(F.lit(""))
+            )
+        if name == "DATATYPE":
+            t = self._expr_term(args[0], df)
+            v = F.when(t["lang"] != "", F.lit(RDF_TYPE[1].rsplit("#", 1)[0] + "#langString")) \
+                .when(t["dt"] != "", t["dt"]).otherwise(F.lit(XSD + "string"))
+            return _term_struct(F.lit("iri"), v, F.lit(""), F.lit(""))
+        if name in ("IRI", "URI"):
+            return _term_struct(F.lit("iri"), self._v(args[0], df), F.lit(""), F.lit(""))
+        if name == "UCASE":
+            return lit_str(F.upper(self._v(args[0], df)))
+        if name == "LCASE":
+            return lit_str(F.lower(self._v(args[0], df)))
+        if name == "CONCAT":
+            return lit_str(F.concat(*[self._v(a, df) for a in args]))
+        if name == "SUBSTR":
+            src = self._v(args[0], df)
+            start = self._expr_num(args[1], df).cast("int")
+            if len(args) > 2:
+                length = self._expr_num(args[2], df).cast("int")
+                return lit_str(src.substr(start, length))
+            return lit_str(src.substr(start, F.lit(1 << 30)))
+        if name == "STRBEFORE":
+            a, b = self._v(args[0], df), self._v(args[1], df)
+            pos = F.instr(a, b)
+            return lit_str(F.when(pos > 0, a.substr(F.lit(1), pos - 1)).otherwise(F.lit("")))
+        if name == "STRAFTER":
+            a, b = self._v(args[0], df), self._v(args[1], df)
+            pos = F.instr(a, b)
+            return lit_str(
+                F.when(pos > 0, a.substr(pos + F.length(b), F.lit(1 << 30))).otherwise(F.lit(""))
+            )
+        if name == "REPLACE":
+            return lit_str(F.regexp_replace(
+                self._v(args[0], df), self._v(args[1], df), self._v(args[2], df)
+            ))
+        if name == "ENCODE_FOR_URI":
+            return lit_str(F.url_encode(self._v(args[0], df)))
+        if name in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            v = self._v(args[0], df)
+            col = {"MD5": F.md5(v), "SHA1": F.sha1(v),
+                   "SHA256": F.sha2(v, 256), "SHA384": F.sha2(v, 384),
+                   "SHA512": F.sha2(v, 512)}[name]
+            return lit_str(col)
+        if name == "COALESCE":
+            return F.coalesce(*[self._expr_term(a, df) for a in args])
+        if name == "IF":
+            return F.when(
+                self._expr_bool(args[0], df), self._expr_term(args[1], df)
+            ).otherwise(self._expr_term(args[2], df))
+        if name == "STRLEN":
+            n = F.length(self._v(args[0], df))
+            return _term_struct(F.lit("literal"), n.cast("string"), F.lit(""),
+                                F.lit(XSD + "integer"))
+        if name in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            n = self._expr_num(e, df)
+            return _term_struct(F.lit("literal"), n.cast("string"), F.lit(""),
+                                F.lit(XSD + "double"))
+        if name == "STRDT":
+            return _term_struct(F.lit("literal"), self._v(args[0], df), F.lit(""),
+                                self._expr_term(args[1], df)["v"])
+        if name == "STRLANG":
+            return _term_struct(F.lit("literal"), self._v(args[0], df),
+                                self._v(args[1], df), F.lit(""))
+        if name == "BNODE":
+            if not args:
+                return _term_struct(F.lit("bnode"),
+                                    F.concat(F.lit("gen"), F.monotonically_increasing_id().cast("string")),
+                                    F.lit(""), F.lit(""))
+            return _term_struct(F.lit("bnode"), self._v(args[0], df), F.lit(""), F.lit(""))
+        if name == "UUID":
+            return _term_struct(F.lit("iri"), F.concat(F.lit("urn:uuid:"), F.expr("uuid()")),
+                                F.lit(""), F.lit(""))
+        if name == "STRUUID":
+            return lit_str(F.expr("uuid()"))
+        if name == "NOW":
+            return _term_struct(
+                F.lit("literal"),
+                F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit(""), F.lit(XSD + "dateTime"),
+            )
+        if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            ts = F.to_timestamp(self._v(args[0], df))
+            col = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                   "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second}[name](ts)
+            return _term_struct(F.lit("literal"), col.cast("string"), F.lit(""),
+                                F.lit(XSD + "integer"))
+        if name in ("SUBJECT", "PREDICATE", "OBJECT"):
+            raise SparqlExecutionError(f"{name}() over encoded triple terms not supported")
+        raise SparqlExecutionError(f"unsupported builtin {name}")
+
+    # ---------------------------------------------------------- aggregates
+    def _agg_col(self, agg, df: DataFrame) -> Column:
+        name = agg["name"]
+        if name == "COUNT" and agg["arg"] == "*":
+            return F.count("*").cast("string")
+        target = self._expr_term(agg["arg"], df)
+        v = target["v"]
+        if agg["distinct"]:
+            if name == "COUNT":
+                return F.count_distinct(target).cast("string")
+            v_num = v.cast("double")
+            if name == "SUM":
+                return F.sum_distinct(v_num).cast("string")
+        num = v.cast("double")
+        if name == "COUNT":
+            return F.count(target).cast("string")
+        if name == "SUM":
+            return F.sum(num).cast("string")
+        if name == "AVG":
+            return F.avg(num).cast("string")
+        if name == "MIN":
+            return F.min(num).cast("string")
+        if name == "MAX":
+            return F.max(num).cast("string")
+        if name == "SAMPLE":
+            return F.first(v, ignorenulls=True)
+        if name == "GROUP_CONCAT":
+            sep = agg["separator"] if agg["separator"] is not None else " "
+            col = F.array_sort(
+                F.collect_set(v) if agg["distinct"] else F.collect_list(v)
+            )
+            return F.array_join(col, sep)
+        raise SparqlExecutionError(f"unsupported aggregate {name}")
+
+    # ------------------------------------------------------------- queries
+    def _run_select(self, q, keep_structs: bool) -> DataFrame:
+        df = self._compile_pattern(q["where"], None)
+        if q.get("values"):
+            vdf = self._values_df(q["values"])
+            df = self._join_bindings(df, vdf)
+        mods = q.get("modifiers", {})
+        proj = q["projection"]
+
+        group_by = mods.get("group_by")
+        has_agg = any(p[0] == "expr" and _has_agg(p[1]) for p in proj if proj != "*")
+        if group_by or has_agg:
+            keys = []
+            for g in group_by or []:
+                if g[0] == "var":
+                    keys.append(g[1])
+                else:
+                    alias = g[2] or self._fresh()
+                    df = df.withColumn(alias, self._expr_term(g[1], df))
+                    keys.append(alias)
+            aggs = []
+            out_names = []
+            for p in proj:
+                if p[0] == "var":
+                    if p[1] not in keys:
+                        raise SparqlExecutionError(
+                            f"?{p[1]} must appear in GROUP BY"
+                        )
+                    out_names.append(p[1])
+                else:
+                    expr, alias = p[1], p[2]
+                    aggs.append(self._agg_expr_struct(expr, df).alias(alias))
+                    out_names.append(alias)
+            gdf = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
+            df = gdf.agg(*aggs) if aggs else gdf.agg(F.count("*").alias("__n")).drop("__n")
+            for h in mods.get("having", []):
+                df = df.where(self._expr_bool(h, df))
+            df = df.select(*[F.col(n) for n in out_names])
+        else:
+            if proj == "*":
+                cols = [c for c in df.columns if not c.startswith("__") and not c.startswith("?")]
+                df = df.select(*cols) if cols else df
+            else:
+                sel = []
+                for p in proj:
+                    if p[0] == "var":
+                        sel.append(self._col(df, p[1]).alias(p[1]))
+                    else:
+                        sel.append(self._expr_term(p[1], df).alias(p[2]))
+                df = df.select(*sel)
+
+        if q.get("distinct") or q.get("reduced"):
+            df = df.dropDuplicates()
+        order = mods.get("order_by")
+        if order:
+            cols = []
+            for direction, expr in order:
+                if isinstance(expr, tuple) and expr[0] == "var" and expr[1] in df.columns:
+                    c = F.when(
+                        F.col(expr[1])["dt"].isin(*_NUMERIC_DTS),
+                        F.col(expr[1])["v"].cast("double"),
+                    ).otherwise(F.lit(None))
+                    c2 = F.col(expr[1])["v"]
+                    for base in (c, c2):
+                        cols.append(base.desc() if direction == "desc" else base.asc())
+                else:
+                    c = self._expr_term(expr, df)["v"]
+                    cols.append(c.desc() if direction == "desc" else c.asc())
+            df = df.orderBy(*cols)
+        offset = mods.get("offset")
+        limit = mods.get("limit")
+        if offset:
+            w = Window.orderBy(F.monotonically_increasing_id())
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") > offset)
+                .drop("__rn")
+            )
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def _agg_expr_struct(self, expr, df) -> Column:
+        """Aggregate (possibly wrapped) expression → TERM struct aggregate."""
+        if isinstance(expr, dict) and expr.get("op") == "agg":
+            v = self._agg_col(expr, df)
+            dt = F.lit("") if expr["name"] in ("SAMPLE", "GROUP_CONCAT") else F.lit(XSD + "double")
+            if expr["name"] == "COUNT":
+                dt = F.lit(XSD + "integer")
+            return F.struct(
+                F.lit("literal").alias("kind"), v.cast("string").alias("v"),
+                F.lit("").alias("lang"), dt.alias("dt"),
+            )
+        raise SparqlExecutionError("projection expression must be an aggregate here")
+
+    # public API ------------------------------------------------------------
+    def run(self, q) -> DataFrame:
+        form = q["form"]
+        if form == "select":
+            return self._run_select(q, keep_structs=True)
+        if form == "ask":
+            inner = Executor(self.triples, self.spark)
+            df = inner._compile_pattern(q["where"], None)
+            has = df.limit(1).count() > 0
+            return self.spark.createDataFrame([(has,)], "ask boolean")
+        if form == "construct":
+            df = self._compile_pattern(q["where"], None)
+            outs = []
+            for (s, p, o) in q["template"]:
+                if isinstance(p, dict):
+                    raise SparqlExecutionError("paths not allowed in CONSTRUCT template")
+                st = self._expr_term(s, df) if s[0] == "var" else _const_term(s)
+                pt = self._expr_term(p, df) if p[0] == "var" else _const_term(p)
+                ot = self._expr_term(o, df) if o[0] == "var" else _const_term(o)
+                outs.append(df.select(
+                    st["kind"].alias("s_kind"), st["v"].alias("s"),
+                    pt["v"].alias("p"),
+                    ot["kind"].alias("o_kind"), ot["v"].alias("o"),
+                    F.when(ot["lang"] == "", None).otherwise(ot["lang"]).alias("o_lang"),
+                    F.when(ot["dt"] == "", None).otherwise(ot["dt"]).alias("o_dt"),
+                ))
+            out = outs[0]
+            for x in outs[1:]:
+                out = out.unionByName(x)
+            return out.dropDuplicates()
+        if form == "describe":
+            if q["where"] is not None and q["targets"] != "*":
+                df = self._compile_pattern(q["where"], None)
+                iris = set()
+                for t in q["targets"]:
+                    if t[0] == "iri":
+                        iris.add(t[1])
+                    else:
+                        for r in df.select(t[1]).distinct().collect():
+                            if r[0] and r[0]["kind"] == "iri":
+                                iris.add(r[0]["v"])
+            elif q["targets"] != "*":
+                iris = {t[1] for t in q["targets"] if t[0] == "iri"}
+            else:
+                df = self._compile_pattern(q["where"], None)
+                iris = set()
+                for c in [c for c in df.columns if not c.startswith("__")]:
+                    for r in df.select(c).distinct().collect():
+                        if r[0] and r[0]["kind"] == "iri":
+                            iris.add(r[0]["v"])
+            return self.triples.where(F.col("s").isin(list(iris)) | F.col("o").isin(list(iris)))
+        raise SparqlExecutionError(f"unsupported form {form}")
+
+
+def _has_agg(expr) -> bool:
+    if isinstance(expr, dict):
+        if expr.get("op") == "agg":
+            return True
+        return any(_has_agg(v) for v in expr.values() if isinstance(v, (dict, list)))
+    return False
+
+
+def execute(
+    query: str, triples: DataFrame, simplify: bool = True
+) -> DataFrame:
+    """Parse + execute a SPARQL query over the engine triples table.
+
+    With simplify=True (default), SELECT results expose one plain string
+    column per variable (the term's lexical value, NULL when unbound) —
+    the driver/oracle-friendly shape. simplify=False keeps the full
+    term structs (kind, v, lang, dt)."""
+    q = parse_sparql(query)
+    if q.get("type") == "update":
+        raise SparqlExecutionError(
+            "updates are executed by the pipeline materializer, not execute()"
+        )
+    df = Executor(triples).run(q)
+    if simplify and q["form"] == "select":
+        cols = []
+        for name in df.columns:
+            field = dict(zip(df.columns, df.schema.fields))[name]
+            if isinstance(field.dataType, StructType):
+                cols.append(F.col(name)["v"].alias(name))
+            else:
+                cols.append(F.col(name))
+        df = df.select(*cols)
+    return df

@@ -1,0 +1,208 @@
+"""SPARQL executor tests: each query's result is checked against the
+hand-computed answer on a small in-memory graph (the reference cannot
+cross-check these — it has no evaluator; SURVEY.md §2.B is the spec)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mentor_rdf_parsers_spark.sparql.executor import execute
+
+PREFIX = "PREFIX : <http://ex/>\n"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    """People graph: alice(30) knows bob(25); bob knows carol(35);
+    dave unlinked with no age; names with lang tags; one named graph."""
+    X = "http://www.w3.org/2001/XMLSchema#"
+    rows = []
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def t(s, p, o, okind="iri", lang=None, dt=None, g=None):
+        pred = RDF_TYPE if p == "type" else f"http://ex/{p}"
+        rows.append(("doc", "iri", f"http://ex/{s}", "iri", pred,
+                     okind, o, lang, dt, "iri" if g else None,
+                     f"http://ex/{g}" if g else None, None, None, None))
+
+    for person, age in [("alice", "30"), ("bob", "25"), ("carol", "35")]:
+        t(person, "type", "http://ex/Person")
+        t(person, "age", age, "literal", dt=X + "integer")
+    t("dave", "type", "http://ex/Person")
+    t("alice", "knows", "http://ex/bob")
+    t("bob", "knows", "http://ex/carol")
+    t("alice", "name", "Alice", "literal", lang="en")
+    t("bob", "name", "Bob", "literal")
+    t("alice", "note", "secret", "literal", g="g1")
+    cols = ("doc_id string, s_kind string, s string, p_kind string, p string, "
+            "o_kind string, o string, o_lang string, o_dt string, g_kind string, "
+            "g string, s_off int, p_off int, o_off int")
+    df = spark.createDataFrame(rows, cols).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_bgp_join_and_filter(graph):
+    out = execute(PREFIX + """
+        SELECT ?p ?age WHERE {
+            ?p a :Person ; :age ?age .
+            FILTER(?age > 26)
+        }""", graph)
+    assert rows(out, "p", "age") == [
+        ("http://ex/alice", "30"), ("http://ex/carol", "35")]
+
+
+def test_optional_left_join(graph):
+    out = execute(PREFIX + """
+        SELECT ?p ?name WHERE {
+            ?p a :Person .
+            OPTIONAL { ?p :name ?name }
+        }""", graph)
+    got = dict(rows(out, "p", "name"))
+    assert got["http://ex/alice"] == "Alice"
+    assert got["http://ex/dave"] is None
+
+
+def test_union(graph):
+    out = execute(PREFIX + """
+        SELECT ?x WHERE {
+            { ?x :age "30"^^<http://www.w3.org/2001/XMLSchema#integer> }
+            UNION { ?x :name "Bob" }
+        }""", graph)
+    assert rows(out, "x") == [("http://ex/alice",), ("http://ex/bob",)]
+
+
+def test_minus_and_not_exists(graph):
+    q_minus = PREFIX + """
+        SELECT ?p WHERE { ?p a :Person MINUS { ?p :age ?a } }"""
+    q_ne = PREFIX + """
+        SELECT ?p WHERE { ?p a :Person FILTER NOT EXISTS { ?p :age ?a } }"""
+    for q in (q_minus, q_ne):
+        assert rows(execute(q, graph), "p") == [("http://ex/dave",)]
+
+
+def test_exists_semi_join(graph):
+    out = execute(PREFIX + """
+        SELECT ?p WHERE { ?p a :Person FILTER EXISTS { ?p :knows ?q } }""", graph)
+    assert rows(out, "p") == [("http://ex/alice",), ("http://ex/bob",)]
+
+
+def test_bind_and_expressions(graph):
+    out = execute(PREFIX + """
+        SELECT ?p ?months WHERE {
+            ?p :age ?age . BIND(?age * 12 AS ?months)
+            FILTER(?p = :bob)
+        }""", graph)
+    assert rows(out, "months") == [("300.0",)]
+
+
+def test_values_inline_join(graph):
+    out = execute(PREFIX + """
+        SELECT ?p ?age WHERE {
+            VALUES ?p { :alice :bob }
+            ?p :age ?age .
+        }""", graph)
+    assert rows(out, "p", "age") == [
+        ("http://ex/alice", "30"), ("http://ex/bob", "25")]
+
+
+def test_graph_pattern(graph):
+    out = execute(PREFIX + """
+        SELECT ?g ?o WHERE { GRAPH ?g { :alice :note ?o } }""", graph)
+    assert rows(out, "g", "o") == [("http://ex/g1", "secret")]
+    # default graph excludes named-graph rows
+    out2 = execute(PREFIX + "SELECT ?o WHERE { :alice :note ?o }", graph)
+    assert out2.count() == 0
+
+
+def test_group_by_aggregates(graph):
+    out = execute(PREFIX + """
+        SELECT ?t (COUNT(*) AS ?n) (AVG(?age) AS ?avg) WHERE {
+            ?p a ?t . OPTIONAL { ?p :age ?age }
+        } GROUP BY ?t""", graph)
+    r = out.collect()[0]
+    assert r["n"] == "4" and float(r["avg"]) == 30.0
+
+
+def test_order_limit_offset(graph):
+    q = PREFIX + """
+        SELECT ?p ?age WHERE { ?p :age ?age } ORDER BY DESC(?age) LIMIT 2"""
+    out = [r["p"] for r in execute(q, graph).collect()]
+    assert out == ["http://ex/carol", "http://ex/alice"]
+
+
+def test_property_path_sequence_and_plus(graph):
+    out = execute(PREFIX + """
+        SELECT ?x WHERE { :alice :knows/:knows ?x }""", graph)
+    assert rows(out, "x") == [("http://ex/carol",)]
+    out2 = execute(PREFIX + """
+        SELECT ?x WHERE { :alice :knows+ ?x }""", graph)
+    assert rows(out2, "x") == [("http://ex/bob",), ("http://ex/carol",)]
+
+
+def test_property_path_inverse_alt(graph):
+    out = execute(PREFIX + "SELECT ?x WHERE { :bob ^:knows ?x }", graph)
+    assert rows(out, "x") == [("http://ex/alice",)]
+    out2 = execute(PREFIX + "SELECT ?x WHERE { :bob (:knows|^:knows) ?x }", graph)
+    assert rows(out2, "x") == [("http://ex/alice",), ("http://ex/carol",)]
+
+
+def test_builtins_str_lang_regex(graph):
+    out = execute(PREFIX + """
+        SELECT ?p ?l WHERE {
+            ?p :name ?n . FILTER(REGEX(STR(?n), "^Ali"))
+            BIND(LANG(?n) AS ?l)
+        }""", graph)
+    assert rows(out, "p", "l") == [("http://ex/alice", "en")]
+
+
+def test_distinct_and_ask(spark, graph):
+    out = execute(PREFIX + "SELECT DISTINCT ?t WHERE { ?s a ?t }", graph)
+    assert out.count() == 1
+    ask_yes = execute(PREFIX + "ASK { :alice :knows :bob }", graph)
+    assert ask_yes.collect()[0]["ask"] is True
+    ask_no = execute(PREFIX + "ASK { :bob :knows :alice }", graph)
+    assert ask_no.collect()[0]["ask"] is False
+
+
+def test_construct(graph):
+    out = execute(PREFIX + """
+        CONSTRUCT { ?x :linked ?y } WHERE { ?x :knows ?y }""", graph)
+    got = sorted((r["s"], r["p"], r["o"]) for r in out.collect())
+    assert got == [
+        ("http://ex/alice", "http://ex/linked", "http://ex/bob"),
+        ("http://ex/bob", "http://ex/linked", "http://ex/carol"),
+    ]
+
+
+def test_subselect(graph):
+    out = execute(PREFIX + """
+        SELECT ?p WHERE {
+            ?p :knows ?q .
+            { SELECT ?q WHERE { ?q :age ?a . FILTER(?a > 30) } }
+        }""", graph)
+    assert rows(out, "p") == [("http://ex/bob",)]
+
+
+def test_group_concat(graph):
+    out = execute(PREFIX + """
+        SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) WHERE {
+            ?p :name ?n
+        }""", graph)
+    assert out.collect()[0]["names"] == "Alice,Bob"
+
+
+def test_select_star_plan_is_join_of_scans(graph):
+    df = execute(PREFIX + "SELECT * WHERE { ?s :knows ?o . ?o :age ?a }", graph,
+                 simplify=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # constant-predicate filters must be pushed into the scans (no
+    # full-table join of unfiltered triples)
+    assert "knows" in plan
