@@ -451,6 +451,40 @@ def q_sparql_optional_minus(spark, sf_dir):
     return t1.join(t2, "doc", "left_anti").select("doc")
 
 
+# --- SPARQL-executor family (the reference parses SPARQL; we execute it) ---
+
+_SPARQL_SELECT = f"""
+SELECT ?doc ?lang WHERE {{ ?doc <{PROP_NS}lang> ?lang }}
+"""
+
+_SPARQL_AGG = f"""
+SELECT ?lang (COUNT(*) AS ?n) WHERE {{ ?doc <{PROP_NS}lang> ?lang }}
+GROUP BY ?lang
+"""
+
+_SPARQL_GRAPH = f"""
+SELECT ?doc ?g WHERE {{ GRAPH ?g {{ ?doc <{PROP_NS}source> ?src }} }}
+"""
+
+
+def q_sparql_exec_select(spark, sf_dir):
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    return execute(_SPARQL_SELECT, _triples(spark, sf_dir))
+
+
+def q_sparql_exec_agg(spark, sf_dir):
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    return execute(_SPARQL_AGG, _triples(spark, sf_dir))
+
+
+def q_sparql_exec_graph(spark, sf_dir):
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    return execute(_SPARQL_GRAPH, _triples(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pred_counts": q_kg_pred_counts,
@@ -481,6 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_group_concat": q_rel_group_concat,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "sparql_exec_select": q_sparql_exec_select,
+        "sparql_exec_agg": q_sparql_exec_agg,
+        "sparql_exec_graph": q_sparql_exec_graph,
         "sparql_bgp_filter": q_sparql_bgp_filter,
         "sparql_optional_minus": q_sparql_optional_minus,
     }
@@ -759,6 +796,19 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*)::BIGINT AS n_
   MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM s GROUP BY 1, 2
 """,
+        # SPARQL default graph = rows with g IS NULL → NQ-rendered docs
+        # (doc_id % 4 = 3) are excluded from the first two oracles.
+        "sparql_exec_select": (
+            f"SELECT {_DOC} AS doc, lang FROM documents WHERE doc_id % 4 <> 3"
+        ),
+        "sparql_exec_agg": (
+            "SELECT lang, CAST(COUNT(*) AS VARCHAR) AS n FROM documents "
+            "WHERE doc_id % 4 <> 3 GROUP BY lang"
+        ),
+        "sparql_exec_graph": (
+            f"SELECT {_DOC} AS doc, '{GRAPH_NS}' || source AS g "
+            "FROM documents WHERE doc_id % 4 = 3"
+        ),
         "sparql_bgp_filter": (
             f"SELECT {_DOC} AS doc FROM documents WHERE lang = 'en' AND source = 'src0'"
         ),
