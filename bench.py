@@ -71,7 +71,7 @@ def main() -> None:
 
     # --- testdata pipeline + operator families ---
     qs = entrymod.queries()
-    bench_queries = [
+    default_queries = [
         "kg_pred_counts",
         "kg_sameas_components",
         "kg_canonical_triples",
@@ -84,6 +84,13 @@ def main() -> None:
         "rel_window_topk",
         "events_sessions",
     ]
+    env_q = os.environ.get("SPARK_GRAFT_QUERIES")
+    if env_q is None:
+        bench_queries = default_queries
+    elif env_q in ("", "none"):
+        bench_queries = []
+    else:
+        bench_queries = [q.strip() for q in env_q.split(",") if q.strip()]
     for name in bench_queries:
         t0 = time.time()
         try:
