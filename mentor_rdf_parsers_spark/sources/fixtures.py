@@ -116,6 +116,32 @@ def fixture_documents_rows(
                 yield (doc_id, _split_spans(doc_id, body), syntax, expect)
 
 
+def replicate_documents(df: DataFrame, k: int) -> DataFrame:
+    """Spark-side corpus scale-up: k copies of every document with
+    distinct doc_ids (`{base}#{i}` — skolem prefixes then differ per
+    copy, so emitted triples stay distinct). Unlike replicating in
+    `fixture_documents_rows`, this never materializes the blown-up
+    corpus on the driver — a 10^6-doc bench input is a crossJoin with a
+    range, not a 5 GB python list."""
+    from pyspark.sql import functions as F
+
+    if k <= 1:
+        return df
+    copies = df.sparkSession.range(k).select(F.col("id").alias("__copy"))
+    return (
+        df.crossJoin(copies)
+        .withColumn(
+            "doc_id",
+            F.when(
+                F.col("__copy") == 0, F.col("doc_id")
+            ).otherwise(
+                F.concat(F.col("doc_id"), F.lit("#"), F.col("__copy").cast("string"))
+            ),
+        )
+        .drop("__copy")
+    )
+
+
 def load_fixture_documents(
     spark: SparkSession,
     syntaxes: Optional[list[str]] = None,
