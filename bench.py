@@ -116,6 +116,15 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
 
+    # --- headline correctness: corpus P/R vs the reference golden files ---
+    try:
+        from mentor_rdf_parsers_spark.conformance import corpus_precision_recall
+
+        pr = corpus_precision_recall(spark)
+    except Exception as exc:
+        pr = {"error": str(exc)[:200]}
+        print(f"bench P/R failed: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t > 0), 3)
     out = {
         "metric": "extract_triples_per_sec",
@@ -127,6 +136,7 @@ def main() -> None:
         "cpus": cpus,
         "fixture_docs": n_docs,
         "fixture_triples": n_triples,
+        "pr_vs_reference_golden": pr,
     }
     print(json.dumps(out))
     spark.stop()

@@ -101,8 +101,8 @@ def extract_triples(
                     syntax = sniff_syntax(doc_id) if "." in doc_id else default_syntax
                 text = _doc_text(spans_col.iat[i])
                 if skolemize:
-                    gen = file_scoped_bnode_generator(doc_id)
                     prefix = djb2_base36(doc_id)
+                    gen = file_scoped_bnode_generator(doc_id, prefix=prefix)
                 else:
                     gen = default_bnode_generator
                     prefix = None

@@ -115,3 +115,14 @@ def test_skolemization_cross_doc_distinct(spark):
         bn.groupBy("s").agg(F.countDistinct("doc_id").alias("n")).where("n > 1").count()
     )
     assert clashes == 0
+
+
+def test_corpus_precision_recall_gate(spark):
+    """BASELINE metric: triple P/R >= 0.95 vs the reference's golden RDF
+    1.2 outputs, computed through the real Spark extract path."""
+    from mentor_rdf_parsers_spark.conformance import corpus_precision_recall
+
+    pr = corpus_precision_recall(spark)
+    assert pr["docs"] >= 30
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
