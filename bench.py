@@ -8,7 +8,7 @@ Runs the headline pipeline + representative queries at
      "queries": {...per-query seconds...}, "sf": ..., ...}
 
 The primary metric is extraction throughput (triples/sec) over the W3C
-fixture corpus replicated ``$SPARK_GRAFT_REPLICATE`` times (default 20)
+fixture corpus replicated ``$SPARK_GRAFT_REPLICATE`` times (default 100)
 — the corpus BASELINE.json's metric is defined on. Per-query timings
 cover each operator family. ``$SPARK_GRAFT_CPUS`` is the scaling knob:
 run at 8 and 32 on the same input to evidence the N→4N scaling-
@@ -46,7 +46,7 @@ def build_spark(cpus: int) -> SparkSession:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "100"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = build_spark(cpus)
@@ -73,7 +73,7 @@ def main() -> None:
     # throughput: python workers spawned, imports done, JIT warm) — the
     # scaling-efficiency runs use this so fixed startup costs do not
     # masquerade as poor scaling.
-    iters = int(os.environ.get("SPARK_GRAFT_WARM", "1"))
+    iters = int(os.environ.get("SPARK_GRAFT_WARM", "2"))
     extract_sec = None
     for _ in range(max(iters, 1)):
         t0 = time.time()
