@@ -404,6 +404,34 @@ def q_rel_group_concat(spark, sf_dir):
     )
 
 
+def q_rel_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+def q_rel_intersect(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    with_orders = orders.select(F.col("o_custkey").alias("k")).distinct()
+    big_spenders = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    return with_orders.intersect(big_spenders).select(F.col("k").alias("c_custkey"))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -513,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_left_join_null": q_rel_left_join_null,
         "rel_window_topk": q_rel_window_topk,
         "rel_group_concat": q_rel_group_concat,
+        "rel_rollup": q_rel_rollup,
+        "rel_intersect": q_rel_intersect,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "sparql_exec_select": q_sparql_exec_select,
@@ -773,6 +803,18 @@ SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
         "rel_group_concat": """
 SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+""",
+        "rel_rollup": """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+  COUNT(*)::BIGINT AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "rel_intersect": """
+SELECT DISTINCT o_custkey AS c_custkey FROM orders
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_quantity >= 45
 """,
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS n,
