@@ -166,3 +166,84 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("sim") >= min_sim)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer → each vector
+    lands in one centroid bucket → queries probe their `n_probe` nearest
+    centroids → exact cosine re-rank inside the probed buckets only.
+
+    The 100 TB shape: the corpus is scanned once at index-build, stored
+    clustered by centroid id (partition pruning at query time); per query
+    only |corpus|·(n_probe/n_centroids) candidates are scored. Recall is
+    tuned by n_probe. KMeans seed fixed → deterministic across runs.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    ).withColumn("feat", array_to_vector(F.col("cv").cast("array<double>")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="feat", predictionCol="bucket")
+    model = km.fit(corpus)
+    indexed = model.transform(corpus).select("neighbor_id", "cv", "bucket")
+
+    # assign each query its n_probe nearest centroids (centroids are tiny →
+    # crossJoin with a broadcast literal table)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = embeddings.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(centroids, "bucket int, center array<double>")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probes = (
+        q.crossJoin(cent_df)
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("center"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "rk", F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("bucket"))
+            ),
+        )
+        .where(F.col("rk") <= n_probe)
+        .select("query_id", "qv", "bucket")
+    )
+    scored = (
+        probes.join(indexed, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_dp).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )

@@ -313,3 +313,24 @@ def test_write_stage_resume_and_metrics(spark, tmp_path):
     rows_m = metrics.collect()
     assert sum(r["triple_count"] for r in rows_m) == 100
     assert all(r["stage"] == "triples" for r in rows_m)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN: with enough probes the result must equal brute force; with
+    1 probe it's a subset of the bucket (approximate but never wrong-id)."""
+    import math
+    from mentor_rdf_parsers_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rows = []
+    for i in range(60):
+        ang = (i % 12) * math.pi / 6 + (0.02 * (i // 12))
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where("vec_id in (0, 7)")
+    exact = {(r["query_id"], r["rk"]): r["neighbor_id"]
+             for r in brute_force_topk(emb, queries, k=3).collect()}
+    full = {(r["query_id"], r["rk"]): r["neighbor_id"]
+            for r in ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=4).collect()}
+    assert full == exact
+    approx = ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=1).collect()
+    assert all(r["sim"] >= -1.0 for r in approx) and len(approx) > 0

@@ -39,3 +39,69 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out_dir, "triples")).count() == \
         batch_triples.count()
     docs.unpersist()
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions from the
+    stream must equal the batch answer minus each user's final
+    (still-open) session."""
+    from pyspark.sql.window import Window
+    from mentor_rdf_parsers_spark.streaming.sessionize import sessionize_stream
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+    in_dir = str(tmp_path / "events_in")
+    ev.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    out_dir = str(tmp_path / "sessions_out")
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch reference: window-lag sessionization
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "sid",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("int").alias("n_events"),
+        )
+    )
+    # a session is emitted when (a) a later event opened the next session
+    # (gap-close) or (b) the final watermark (max ts − 10 min) passed its
+    # event-time timeout (end + gap) during the availableNow drain
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    gap_closed = sess.join(last_sid, ["user_id", "sid"], "left_anti")
+    timeout_closed = sess.join(last_sid, ["user_id", "sid"]).where(
+        (F.unix_timestamp(F.lit(max_ts)) - 600)
+        > (F.unix_timestamp("session_end") + 1800)
+    )
+    closed = gap_closed.unionByName(timeout_closed)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in closed.collect()
+    }
+    assert got == want and len(want) > 0
