@@ -27,7 +27,7 @@ here is an equi-join on struct columns.
 Scale notes: triple-pattern scans push constant s/p/o filters down to
 the storage scan (predicate pushdown visible in `.explain`); selective
 patterns (all-constant or VALUES-bound) stay broadcastable so BGP chains
-plan as broadcast joins; `+`/`*` paths reuse the checkpointa-per-round
+plan as broadcast joins; `+`/`*` paths reuse the checkpoint-per-round
 transitive closure from operators.paths.
 """
 
@@ -287,7 +287,10 @@ class Executor:
         if how == "inner":
             return lx.crossJoin(rx)
         if how == "left":
-            return lx.crossJoin(rx)  # OPTIONAL with no shared vars keeps all
+            # OPTIONAL with no shared vars: cross product when the right
+            # side has rows, but left rows MUST survive an empty right
+            # (a crossJoin would drop them) → left join on TRUE
+            return lx.join(rx, F.lit(True), "left")
         raise SparqlExecutionError(f"join {how} without shared vars")
 
     def _compile_pattern(self, node, graph) -> DataFrame:
@@ -331,6 +334,9 @@ class Executor:
                     df = df.withColumn(sub["var"], self._expr_term(sub["expr"], df))
                     if "__exists" in df.columns:
                         df = df.drop("__exists")
+                    continue
+                if sub["type"] == "values" and df is not None:
+                    df = self._apply_values(df, sub)
                     continue
                 inner = self._compile_pattern(sub, graph)
                 df = inner if df is None else self._join_bindings(df, inner)
@@ -384,6 +390,30 @@ class Executor:
             [StructField(v, TERM, True) for v in node["vars"]]
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def _apply_values(self, df: DataFrame, node) -> DataFrame:
+        """Join VALUES rows honoring UNDEF semantics: an UNDEF cell
+        constrains nothing, so rows are grouped by their defined-variable
+        mask and each group joins only on its defined vars."""
+        from collections import defaultdict
+
+        groups: dict[tuple, list] = defaultdict(list)
+        for row in node["rows"]:
+            mask = tuple(v for v, cell in zip(node["vars"], row) if cell is not None)
+            groups[mask].append([c for c in row if c is not None])
+        outs = []
+        for mask, rows in groups.items():
+            if not mask:
+                outs.append(df)
+                continue
+            vdf = self._values_df({"vars": list(mask), "rows": rows})
+            outs.append(self._join_bindings(df, vdf))
+        if not outs:
+            return df.limit(0)
+        res = outs[0]
+        for x in outs[1:]:
+            res = res.unionByName(x, allowMissingColumns=True)
+        return res
 
     def _apply_filter(self, df: DataFrame, expr, graph) -> DataFrame:
         if isinstance(expr, dict) and expr.get("op") == "exists":
@@ -689,9 +719,11 @@ class Executor:
         if name == "AVG":
             return F.avg(num).cast("string")
         if name == "MIN":
-            return F.min(num).cast("string")
+            # numeric min when any value parses as a number, else lexical
+            # (SPARQL leaves mixed-type aggregation to the engine)
+            return F.coalesce(F.min(v.try_cast("double")).cast("string"), F.min(v))
         if name == "MAX":
-            return F.max(num).cast("string")
+            return F.coalesce(F.max(v.try_cast("double")).cast("string"), F.max(v))
         if name == "SAMPLE":
             return F.first(v, ignorenulls=True)
         if name == "GROUP_CONCAT":

@@ -206,3 +206,32 @@ def test_select_star_plan_is_join_of_scans(graph):
     # constant-predicate filters must be pushed into the scans (no
     # full-table join of unfiltered triples)
     assert "knows" in plan
+
+
+def test_optional_empty_disjoint_keeps_left(graph):
+    """OPTIONAL with no shared vars and no matches must keep left rows
+    with the optional vars unbound (a crossJoin would drop them)."""
+    out = execute(PREFIX + """
+        SELECT ?p ?z WHERE {
+            ?p a :Person .
+            OPTIONAL { :nonexistent :nothing ?z }
+        }""", graph)
+    got = rows(out, "p", "z")
+    assert len(got) == 4 and all(z is None for _p, z in got)
+
+
+def test_values_undef_is_unconstrained(graph):
+    out = execute(PREFIX + """
+        SELECT ?p ?age WHERE {
+            ?p :age ?age .
+            VALUES (?p ?age) { (:alice UNDEF) (UNDEF "25"^^<http://www.w3.org/2001/XMLSchema#integer>) }
+        }""", graph)
+    assert rows(out, "p", "age") == [
+        ("http://ex/alice", "30"), ("http://ex/bob", "25")]
+
+
+def test_min_max_on_strings(graph):
+    out = execute(PREFIX + """
+        SELECT (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) WHERE { ?p :name ?n }""", graph)
+    r = out.collect()[0]
+    assert (r["lo"], r["hi"]) == ("Alice", "Bob")
