@@ -77,11 +77,13 @@ def streaming_triple_rates(
     carries an ingest timestamp: tumbling-window doc counts with a
     10-minute watermark for late arrivals. Returns a streaming DF the
     caller writes (memory sink in tests)."""
-    docs = (
-        spark.readStream.schema(
-            DOCUMENTS.add(ts_col, "timestamp")
-        ).parquet(input_dir)
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    # StructType.add MUTATES the receiver — build a fresh schema instead
+    schema = StructType(
+        list(DOCUMENTS.fields) + [StructField(ts_col, TimestampType())]
     )
+    docs = spark.readStream.schema(schema).parquet(input_dir)
     return (
         docs.withWatermark(ts_col, "10 minutes")
         .groupBy(F.window(F.col(ts_col), window), F.col("syntax"))

@@ -105,3 +105,39 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         for r in closed.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_triple_rates_windowed(spark, tmp_path):
+    """Watermarked tumbling-window doc rates over a timestamped stream."""
+    import datetime
+
+    from mentor_rdf_parsers_spark.streaming.extract_stream import (
+        streaming_triple_rates,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (f"d{i}",
+         [("text", "<urn:a> <urn:b> <urn:c> .\n", None, 0)],
+         "ntriples", None,
+         base + datetime.timedelta(minutes=i % 3))
+        for i in range(12)
+    ]
+    from pyspark.sql.types import StructField, StructType, TimestampType
+    from mentor_rdf_parsers_spark.schemas import DOCUMENTS
+    schema = StructType(
+        list(DOCUMENTS.fields) + [StructField("ingest_ts", TimestampType())]
+    )
+    in_dir = str(tmp_path / "ts_docs")
+    spark.createDataFrame(rows, schema).write.parquet(in_dir)
+
+    agg = streaming_triple_rates(spark, in_dir, window="1 minute")
+    q = (
+        agg.writeStream.format("memory").queryName("rates")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from rates").collect()
+    # 3 one-minute windows x one syntax, 4 docs each
+    assert len(got) == 3
+    assert all(r["n_docs"] == 4 and r["syntax"] == "ntriples" for r in got)
