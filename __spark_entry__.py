@@ -219,6 +219,20 @@ def q_kg_path_closure(spark, sf_dir):
     )
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration decimal-exact PageRank over the sameAs chain
+    edges; the chain structure gives a closed-form oracle."""
+    from mentor_rdf_parsers_spark.operators.paths import pagerank
+
+    nodes = _source_nodes(spark, sf_dir)
+    edges = _chain_edges(nodes)
+    pr = pagerank(edges, iterations=3)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.round("rank", 9).cast("decimal(20,9)").alias("rank"),
+    )
+
+
 def q_kg_canonical_triples(spark, sf_dir):
     """Full canonicalization: inject chain sameAs edges as triples, run
     CC-based alias collapse, return the entire canonical triple set."""
@@ -524,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_link": q_kg_entity_link,
         "kg_sameas_components": q_kg_sameas_components,
         "kg_path_closure": q_kg_path_closure,
+        "kg_pagerank": q_kg_pagerank,
         "kg_canonical_triples": q_kg_canonical_triples,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -703,6 +718,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs FROM "
             "(SELECT source, COUNT(*) AS n FROM documents GROUP BY source) WHERE n > 1"
         ),
+        # chain graphs: rank after 3 iterations is a pure function of the
+        # node's position in its chain (closed form, decimal-exact)
+        "kg_pagerank": """
+SELECT doc_id,
+  CAST(CASE pos WHEN 0 THEN 0.15 WHEN 1 THEN 0.2775 WHEN 2 THEN 0.385875
+       ELSE 1.0 END AS DECIMAL(20,9)) AS rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos
+  FROM documents
+)
+WHERE source IN (SELECT source FROM documents GROUP BY source HAVING COUNT(*) > 1)
+""",
         "kg_canonical_triples": f"""
 WITH rep AS (
   SELECT doc_id, lang, source, n_chars, text,

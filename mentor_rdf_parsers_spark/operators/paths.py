@@ -63,3 +63,57 @@ def path_alternative(*paths: DataFrame) -> DataFrame:
     for p in paths[1:]:
         out = out.union(p)
     return out.distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: str = "0.85",
+    scale: int = 18,
+) -> DataFrame:
+    """Fixed-iteration PageRank over (src, dst) edges → (node, rank).
+
+    Deterministic by construction: every sum runs in DECIMAL(38, scale)
+    (double addition is shuffle-order-dependent — decimal is associative
+    and exact), so two runs — or two engines — agree digit-for-digit.
+    Dangling nodes keep the (1-d) base term. Fixed iteration count
+    rather than convergence threshold keeps the plan cross-checkable.
+
+    Scale shape: per iteration one groupBy("dst") shuffle of (dst,
+    contribution) pairs; rank table is (node, rank) only. Lineage cut
+    per round via localCheckpoint.
+    """
+    dec = f"decimal(38,{scale})"
+    d = F.lit(damping).cast(dec)
+    one_minus_d = (F.lit(1).cast(dec) - d).cast(dec)
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1).cast(dec))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).cast(dec).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast(dec).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (one_minus_d + d * F.coalesce(
+                    F.col("inflow"), F.lit(0).cast(dec)
+                )).cast(dec).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -334,3 +334,14 @@ def test_ivf_topk_recall(spark):
     assert full == exact
     approx = ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=1).collect()
     assert all(r["sim"] >= -1.0 for r in approx) and len(approx) > 0
+
+
+def test_pagerank_chain_closed_form(spark):
+    from decimal import Decimal
+    from mentor_rdf_parsers_spark.operators.paths import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long")
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    want = {0: "0.15", 1: "0.2775", 2: "0.385875", 3: "1", 4: "1"}
+    for node, expect in want.items():
+        assert pr[node] == Decimal(expect).quantize(pr[node]), (node, pr[node])
