@@ -285,6 +285,20 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup_simhash(docs)
 
 
+def q_corpus_sample(spark, sf_dir):
+    from mentor_rdf_parsers_spark.operators.corpus import sample_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_corpus(docs, rate=0.25).select("doc_id")
+
+
+def q_corpus_pack(spark, sf_dir):
+    from mentor_rdf_parsers_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, token_budget=512)
+
+
 def q_text_profile(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text_profile(docs)
@@ -544,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "corpus_sample": q_corpus_sample,
+        "corpus_pack": q_corpus_pack,
         "text_profile": q_text_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -772,6 +788,29 @@ WHERE i / (na.n + nb.n - i) >= 0.5
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
 SELECT doc_id AS id, simhash, COUNT(*) OVER (PARTITION BY simhash)::BIGINT AS bucket_size
 FROM (SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM toks)
+""",
+        "corpus_sample": """
+WITH k AS (SELECT doc_id, md5('sample:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+SELECT doc_id FROM k WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 1 < 4194304
+""",
+        "corpus_pack": """
+WITH t AS (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
+         ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS BIGINT)
+      AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  CAST(FLOOR(cum_before / 512) AS BIGINT) AS pack_id,
+  CAST(cum_before % 512 AS BIGINT) AS pack_offset
+FROM c
 """,
         "text_profile": _text_profile_sql(),
         "ann_cosine_topk": f"""

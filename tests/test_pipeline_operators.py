@@ -345,3 +345,27 @@ def test_pagerank_chain_closed_form(spark):
     want = {0: "0.15", 1: "0.2775", 2: "0.385875", 3: "1", 4: "1"}
     for node, expect in want.items():
         assert pr[node] == Decimal(expect).quantize(pr[node]), (node, pr[node])
+
+
+def test_corpus_sample_and_pack(spark):
+    from mentor_rdf_parsers_spark.operators.corpus import pack_sequences, sample_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(200)], "doc_id long, text string"
+    )
+    s1 = {r["doc_id"] for r in sample_corpus(docs, 0.3).select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in sample_corpus(docs, 0.3).select("doc_id").collect()}
+    assert s1 == s2 and 20 < len(s1) < 100          # deterministic, ~30%
+    other = {r["doc_id"] for r in sample_corpus(docs, 0.3, salt="b").select("doc_id").collect()}
+    assert other != s1                              # independent per salt
+
+    packed = pack_sequences(docs, token_budget=16).collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    # contiguity: pack ids are non-decreasing in doc order; offsets < budget
+    last = 0
+    for i in range(200):
+        r = by_id[i]
+        assert r["pack_id"] >= last and 0 <= r["pack_offset"] < 16
+        last = r["pack_id"]
+    total = sum(r["n_tokens"] for r in packed)
+    assert packed and max(r["pack_id"] for r in packed) == (total - by_id[199]["n_tokens"]) // 16
