@@ -541,8 +541,32 @@ def q_sparql_exec_graph(spark, sf_dir):
     return execute(_SPARQL_GRAPH, _triples(spark, sf_dir))
 
 
+def _tuned(spark: SparkSession) -> SparkSession:
+    """Defensive session tuning for the correctness-gate scale (sf≤0.1):
+    the driver's session may default to 200 shuffle partitions with AQE
+    off, which turns the iterative loops (CC, PageRank, closure) into
+    200-task micro-shuffles per round."""
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass
+    return spark
+
+
+def _wrap(fn):
+    def run(spark, sf_dir):
+        return fn(_tuned(spark), sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _wrap(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES = {
         "kg_pred_counts": q_kg_pred_counts,
         "kg_lang_roundtrip": q_kg_lang_roundtrip,
         "kg_text_langtag": q_kg_text_langtag,
