@@ -850,6 +850,26 @@ s AS (SELECT qid AS query_id, nid AS neighbor_id, round(dot / (nq * nc), 6) AS s
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
 """,
+        "ann_lsh_topk": """
+WITH sk AS (
+  SELECT vec_id, embedding, CAST((CASE WHEN (-CAST(e[1] AS DOUBLE) + CAST(e[2] AS DOUBLE) + CAST(e[3] AS DOUBLE) + -CAST(e[4] AS DOUBLE) + -CAST(e[5] AS DOUBLE) + CAST(e[6] AS DOUBLE) + CAST(e[7] AS DOUBLE) + CAST(e[8] AS DOUBLE) + CAST(e[9] AS DOUBLE) + CAST(e[10] AS DOUBLE) + CAST(e[11] AS DOUBLE) + -CAST(e[12] AS DOUBLE) + -CAST(e[13] AS DOUBLE) + -CAST(e[14] AS DOUBLE) + CAST(e[15] AS DOUBLE) + CAST(e[16] AS DOUBLE) + CAST(e[17] AS DOUBLE) + CAST(e[18] AS DOUBLE) + CAST(e[19] AS DOUBLE) + CAST(e[20] AS DOUBLE) + CAST(e[21] AS DOUBLE) + -CAST(e[22] AS DOUBLE) + -CAST(e[23] AS DOUBLE) + CAST(e[24] AS DOUBLE) + CAST(e[25] AS DOUBLE) + CAST(e[26] AS DOUBLE) + -CAST(e[27] AS DOUBLE) + -CAST(e[28] AS DOUBLE) + -CAST(e[29] AS DOUBLE) + CAST(e[30] AS DOUBLE) + -CAST(e[31] AS DOUBLE) + CAST(e[32] AS DOUBLE) + CAST(e[33] AS DOUBLE) + -CAST(e[34] AS DOUBLE) + -CAST(e[35] AS DOUBLE) + -CAST(e[36] AS DOUBLE) + CAST(e[37] AS DOUBLE) + CAST(e[38] AS DOUBLE) + CAST(e[39] AS DOUBLE) + CAST(e[40] AS DOUBLE) + -CAST(e[41] AS DOUBLE) + -CAST(e[42] AS DOUBLE) + -CAST(e[43] AS DOUBLE) + CAST(e[44] AS DOUBLE) + -CAST(e[45] AS DOUBLE) + CAST(e[46] AS DOUBLE) + -CAST(e[47] AS DOUBLE) + -CAST(e[48] AS DOUBLE) + CAST(e[49] AS DOUBLE) + CAST(e[50] AS DOUBLE) + -CAST(e[51] AS DOUBLE) + CAST(e[52] AS DOUBLE) + CAST(e[53] AS DOUBLE) + CAST(e[54] AS DOUBLE) + CAST(e[55] AS DOUBLE) + -CAST(e[56] AS DOUBLE) + CAST(e[57] AS DOUBLE) + -CAST(e[58] AS DOUBLE) + CAST(e[59] AS DOUBLE) + CAST(e[60] AS DOUBLE) + CAST(e[61] AS DOUBLE) + -CAST(e[62] AS DOUBLE) + CAST(e[63] AS DOUBLE) + -CAST(e[64] AS DOUBLE)) > 0 THEN 1 ELSE 0 END) + (CASE WHEN (-CAST(e[1] AS DOUBLE) + CAST(e[2] AS DOUBLE) + CAST(e[3] AS DOUBLE) + CAST(e[4] AS DOUBLE) + CAST(e[5] AS DOUBLE) + CAST(e[6] AS DOUBLE) + CAST(e[7] AS DOUBLE) + -CAST(e[8] AS DOUBLE) + CAST(e[9] AS DOUBLE) + CAST(e[10] AS DOUBLE) + -CAST(e[11] AS DOUBLE) + -CAST(e[12] AS DOUBLE) + -CAST(e[13] AS DOUBLE) + CAST(e[14] AS DOUBLE) + -CAST(e[15] AS DOUBLE) + -CAST(e[16] AS DOUBLE) + -CAST(e[17] AS DOUBLE) + CAST(e[18] AS DOUBLE) + CAST(e[19] AS DOUBLE) + CAST(e[20] AS DOUBLE) + CAST(e[21] AS DOUBLE) + -CAST(e[22] AS DOUBLE) + -CAST(e[23] AS DOUBLE) + -CAST(e[24] AS DOUBLE) + -CAST(e[25] AS DOUBLE) + -CAST(e[26] AS DOUBLE) + -CAST(e[27] AS DOUBLE) + -CAST(e[28] AS DOUBLE) + CAST(e[29] AS DOUBLE) + CAST(e[30] AS DOUBLE) + CAST(e[31] AS DOUBLE) + -CAST(e[32] AS DOUBLE) + CAST(e[33] AS DOUBLE) + CAST(e[34] AS DOUBLE) + CAST(e[35] AS DOUBLE) + -CAST(e[36] AS DOUBLE) + -CAST(e[37] AS DOUBLE) + CAST(e[38] AS DOUBLE) + -CAST(e[39] AS DOUBLE) + -CAST(e[40] AS DOUBLE) + CAST(e[41] AS DOUBLE) + CAST(e[42] AS DOUBLE) + CAST(e[43] AS DOUBLE) + -CAST(e[44] AS DOUBLE) + -CAST(e[45] AS DOUBLE) + -CAST(e[46] AS DOUBLE) + CAST(e[47] AS DOUBLE) + CAST(e[48] AS DOUBLE) + -CAST(e[49] AS DOUBLE) + CAST(e[50] AS DOUBLE) + -CAST(e[51] AS DOUBLE) + -CAST(e[52] AS DOUBLE) + CAST(e[53] AS DOUBLE) + -CAST(e[54] AS DOUBLE) + CAST(e[55] AS DOUBLE) + -CAST(e[56] AS DOUBLE) + -CAST(e[57] AS DOUBLE) + CAST(e[58] AS DOUBLE) + -CAST(e[59] AS DOUBLE) + -CAST(e[60] AS DOUBLE) + CAST(e[61] AS DOUBLE) + CAST(e[62] AS DOUBLE) + CAST(e[63] AS DOUBLE) + -CAST(e[64] AS DOUBLE)) > 0 THEN 2 ELSE 0 END) + (CASE WHEN (-CAST(e[1] AS DOUBLE) + -CAST(e[2] AS DOUBLE) + CAST(e[3] AS DOUBLE) + CAST(e[4] AS DOUBLE) + CAST(e[5] AS DOUBLE) + CAST(e[6] AS DOUBLE) + -CAST(e[7] AS DOUBLE) + -CAST(e[8] AS DOUBLE) + CAST(e[9] AS DOUBLE) + -CAST(e[10] AS DOUBLE) + CAST(e[11] AS DOUBLE) + CAST(e[12] AS DOUBLE) + CAST(e[13] AS DOUBLE) + CAST(e[14] AS DOUBLE) + -CAST(e[15] AS DOUBLE) + -CAST(e[16] AS DOUBLE) + -CAST(e[17] AS DOUBLE) + -CAST(e[18] AS DOUBLE) + -CAST(e[19] AS DOUBLE) + -CAST(e[20] AS DOUBLE) + -CAST(e[21] AS DOUBLE) + -CAST(e[22] AS DOUBLE) + -CAST(e[23] AS DOUBLE) + CAST(e[24] AS DOUBLE) + CAST(e[25] AS DOUBLE) + CAST(e[26] AS DOUBLE) + CAST(e[27] AS DOUBLE) + CAST(e[28] AS DOUBLE) + -CAST(e[29] AS DOUBLE) + CAST(e[30] AS DOUBLE) + -CAST(e[31] AS DOUBLE) + CAST(e[32] AS DOUBLE) + -CAST(e[33] AS DOUBLE) + -CAST(e[34] AS DOUBLE) + CAST(e[35] AS DOUBLE) + CAST(e[36] AS DOUBLE) + CAST(e[37] AS DOUBLE) + CAST(e[38] AS DOUBLE) + CAST(e[39] AS DOUBLE) + -CAST(e[40] AS DOUBLE) + CAST(e[41] AS DOUBLE) + -CAST(e[42] AS DOUBLE) + CAST(e[43] AS DOUBLE) + CAST(e[44] AS DOUBLE) + CAST(e[45] AS DOUBLE) + CAST(e[46] AS DOUBLE) + -CAST(e[47] AS DOUBLE) + -CAST(e[48] AS DOUBLE) + CAST(e[49] AS DOUBLE) + CAST(e[50] AS DOUBLE) + CAST(e[51] AS DOUBLE) + -CAST(e[52] AS DOUBLE) + CAST(e[53] AS DOUBLE) + CAST(e[54] AS DOUBLE) + CAST(e[55] AS DOUBLE) + -CAST(e[56] AS DOUBLE) + -CAST(e[57] AS DOUBLE) + -CAST(e[58] AS DOUBLE) + -CAST(e[59] AS DOUBLE) + -CAST(e[60] AS DOUBLE) + CAST(e[61] AS DOUBLE) + CAST(e[62] AS DOUBLE) + CAST(e[63] AS DOUBLE) + -CAST(e[64] AS DOUBLE)) > 0 THEN 4 ELSE 0 END) + (CASE WHEN (-CAST(e[1] AS DOUBLE) + -CAST(e[2] AS DOUBLE) + CAST(e[3] AS DOUBLE) + CAST(e[4] AS DOUBLE) + -CAST(e[5] AS DOUBLE) + -CAST(e[6] AS DOUBLE) + CAST(e[7] AS DOUBLE) + -CAST(e[8] AS DOUBLE) + -CAST(e[9] AS DOUBLE) + CAST(e[10] AS DOUBLE) + -CAST(e[11] AS DOUBLE) + CAST(e[12] AS DOUBLE) + -CAST(e[13] AS DOUBLE) + -CAST(e[14] AS DOUBLE) + -CAST(e[15] AS DOUBLE) + CAST(e[16] AS DOUBLE) + -CAST(e[17] AS DOUBLE) + -CAST(e[18] AS DOUBLE) + -CAST(e[19] AS DOUBLE) + CAST(e[20] AS DOUBLE) + CAST(e[21] AS DOUBLE) + -CAST(e[22] AS DOUBLE) + -CAST(e[23] AS DOUBLE) + -CAST(e[24] AS DOUBLE) + -CAST(e[25] AS DOUBLE) + -CAST(e[26] AS DOUBLE) + CAST(e[27] AS DOUBLE) + -CAST(e[28] AS DOUBLE) + CAST(e[29] AS DOUBLE) + -CAST(e[30] AS DOUBLE) + -CAST(e[31] AS DOUBLE) + CAST(e[32] AS DOUBLE) + CAST(e[33] AS DOUBLE) + CAST(e[34] AS DOUBLE) + -CAST(e[35] AS DOUBLE) + CAST(e[36] AS DOUBLE) + -CAST(e[37] AS DOUBLE) + -CAST(e[38] AS DOUBLE) + -CAST(e[39] AS DOUBLE) + CAST(e[40] AS DOUBLE) + -CAST(e[41] AS DOUBLE) + -CAST(e[42] AS DOUBLE) + CAST(e[43] AS DOUBLE) + -CAST(e[44] AS DOUBLE) + CAST(e[45] AS DOUBLE) + CAST(e[46] AS DOUBLE) + CAST(e[47] AS DOUBLE) + CAST(e[48] AS DOUBLE) + CAST(e[49] AS DOUBLE) + CAST(e[50] AS DOUBLE) + -CAST(e[51] AS DOUBLE) + -CAST(e[52] AS DOUBLE) + -CAST(e[53] AS DOUBLE) + CAST(e[54] AS DOUBLE) + CAST(e[55] AS DOUBLE) + -CAST(e[56] AS DOUBLE) + CAST(e[57] AS DOUBLE) + CAST(e[58] AS DOUBLE) + CAST(e[59] AS DOUBLE) + CAST(e[60] AS DOUBLE) + -CAST(e[61] AS DOUBLE) + -CAST(e[62] AS DOUBLE) + -CAST(e[63] AS DOUBLE) + -CAST(e[64] AS DOUBLE)) > 0 THEN 8 ELSE 0 END) + (CASE WHEN (CAST(e[1] AS DOUBLE) + CAST(e[2] AS DOUBLE) + -CAST(e[3] AS DOUBLE) + -CAST(e[4] AS DOUBLE) + CAST(e[5] AS DOUBLE) + -CAST(e[6] AS DOUBLE) + CAST(e[7] AS DOUBLE) + -CAST(e[8] AS DOUBLE) + CAST(e[9] AS DOUBLE) + -CAST(e[10] AS DOUBLE) + -CAST(e[11] AS DOUBLE) + CAST(e[12] AS DOUBLE) + CAST(e[13] AS DOUBLE) + CAST(e[14] AS DOUBLE) + CAST(e[15] AS DOUBLE) + -CAST(e[16] AS DOUBLE) + -CAST(e[17] AS DOUBLE) + -CAST(e[18] AS DOUBLE) + CAST(e[19] AS DOUBLE) + CAST(e[20] AS DOUBLE) + CAST(e[21] AS DOUBLE) + CAST(e[22] AS DOUBLE) + -CAST(e[23] AS DOUBLE) + CAST(e[24] AS DOUBLE) + CAST(e[25] AS DOUBLE) + -CAST(e[26] AS DOUBLE) + CAST(e[27] AS DOUBLE) + -CAST(e[28] AS DOUBLE) + CAST(e[29] AS DOUBLE) + CAST(e[30] AS DOUBLE) + CAST(e[31] AS DOUBLE) + -CAST(e[32] AS DOUBLE) + -CAST(e[33] AS DOUBLE) + -CAST(e[34] AS DOUBLE) + CAST(e[35] AS DOUBLE) + -CAST(e[36] AS DOUBLE) + CAST(e[37] AS DOUBLE) + CAST(e[38] AS DOUBLE) + -CAST(e[39] AS DOUBLE) + -CAST(e[40] AS DOUBLE) + -CAST(e[41] AS DOUBLE) + CAST(e[42] AS DOUBLE) + CAST(e[43] AS DOUBLE) + CAST(e[44] AS DOUBLE) + CAST(e[45] AS DOUBLE) + -CAST(e[46] AS DOUBLE) + CAST(e[47] AS DOUBLE) + -CAST(e[48] AS DOUBLE) + -CAST(e[49] AS DOUBLE) + -CAST(e[50] AS DOUBLE) + -CAST(e[51] AS DOUBLE) + -CAST(e[52] AS DOUBLE) + CAST(e[53] AS DOUBLE) + -CAST(e[54] AS DOUBLE) + CAST(e[55] AS DOUBLE) + -CAST(e[56] AS DOUBLE) + CAST(e[57] AS DOUBLE) + CAST(e[58] AS DOUBLE) + CAST(e[59] AS DOUBLE) + CAST(e[60] AS DOUBLE) + CAST(e[61] AS DOUBLE) + CAST(e[62] AS DOUBLE) + -CAST(e[63] AS DOUBLE) + -CAST(e[64] AS DOUBLE)) > 0 THEN 16 ELSE 0 END) + (CASE WHEN (-CAST(e[1] AS DOUBLE) + -CAST(e[2] AS DOUBLE) + CAST(e[3] AS DOUBLE) + -CAST(e[4] AS DOUBLE) + CAST(e[5] AS DOUBLE) + -CAST(e[6] AS DOUBLE) + CAST(e[7] AS DOUBLE) + CAST(e[8] AS DOUBLE) + CAST(e[9] AS DOUBLE) + -CAST(e[10] AS DOUBLE) + -CAST(e[11] AS DOUBLE) + CAST(e[12] AS DOUBLE) + CAST(e[13] AS DOUBLE) + CAST(e[14] AS DOUBLE) + -CAST(e[15] AS DOUBLE) + CAST(e[16] AS DOUBLE) + -CAST(e[17] AS DOUBLE) + CAST(e[18] AS DOUBLE) + -CAST(e[19] AS DOUBLE) + CAST(e[20] AS DOUBLE) + CAST(e[21] AS DOUBLE) + CAST(e[22] AS DOUBLE) + -CAST(e[23] AS DOUBLE) + CAST(e[24] AS DOUBLE) + -CAST(e[25] AS DOUBLE) + -CAST(e[26] AS DOUBLE) + CAST(e[27] AS DOUBLE) + CAST(e[28] AS DOUBLE) + CAST(e[29] AS DOUBLE) + CAST(e[30] AS DOUBLE) + -CAST(e[31] AS DOUBLE) + -CAST(e[32] AS DOUBLE) + CAST(e[33] AS DOUBLE) + CAST(e[34] AS DOUBLE) + -CAST(e[35] AS DOUBLE) + CAST(e[36] AS DOUBLE) + CAST(e[37] AS DOUBLE) + CAST(e[38] AS DOUBLE) + CAST(e[39] AS DOUBLE) + -CAST(e[40] AS DOUBLE) + CAST(e[41] AS DOUBLE) + CAST(e[42] AS DOUBLE) + CAST(e[43] AS DOUBLE) + CAST(e[44] AS DOUBLE) + CAST(e[45] AS DOUBLE) + -CAST(e[46] AS DOUBLE) + CAST(e[47] AS DOUBLE) + CAST(e[48] AS DOUBLE) + -CAST(e[49] AS DOUBLE) + -CAST(e[50] AS DOUBLE) + CAST(e[51] AS DOUBLE) + CAST(e[52] AS DOUBLE) + CAST(e[53] AS DOUBLE) + CAST(e[54] AS DOUBLE) + CAST(e[55] AS DOUBLE) + CAST(e[56] AS DOUBLE) + CAST(e[57] AS DOUBLE) + CAST(e[58] AS DOUBLE) + -CAST(e[59] AS DOUBLE) + CAST(e[60] AS DOUBLE) + CAST(e[61] AS DOUBLE) + -CAST(e[62] AS DOUBLE) + -CAST(e[63] AS DOUBLE) + CAST(e[64] AS DOUBLE)) > 0 THEN 32 ELSE 0 END) + (CASE WHEN (-CAST(e[1] AS DOUBLE) + -CAST(e[2] AS DOUBLE) + -CAST(e[3] AS DOUBLE) + CAST(e[4] AS DOUBLE) + -CAST(e[5] AS DOUBLE) + CAST(e[6] AS DOUBLE) + -CAST(e[7] AS DOUBLE) + -CAST(e[8] AS DOUBLE) + CAST(e[9] AS DOUBLE) + CAST(e[10] AS DOUBLE) + CAST(e[11] AS DOUBLE) + CAST(e[12] AS DOUBLE) + -CAST(e[13] AS DOUBLE) + CAST(e[14] AS DOUBLE) + -CAST(e[15] AS DOUBLE) + -CAST(e[16] AS DOUBLE) + -CAST(e[17] AS DOUBLE) + CAST(e[18] AS DOUBLE) + -CAST(e[19] AS DOUBLE) + -CAST(e[20] AS DOUBLE) + -CAST(e[21] AS DOUBLE) + -CAST(e[22] AS DOUBLE) + -CAST(e[23] AS DOUBLE) + CAST(e[24] AS DOUBLE) + CAST(e[25] AS DOUBLE) + CAST(e[26] AS DOUBLE) + -CAST(e[27] AS DOUBLE) + -CAST(e[28] AS DOUBLE) + CAST(e[29] AS DOUBLE) + -CAST(e[30] AS DOUBLE) + CAST(e[31] AS DOUBLE) + CAST(e[32] AS DOUBLE) + CAST(e[33] AS DOUBLE) + -CAST(e[34] AS DOUBLE) + -CAST(e[35] AS DOUBLE) + -CAST(e[36] AS DOUBLE) + CAST(e[37] AS DOUBLE) + CAST(e[38] AS DOUBLE) + -CAST(e[39] AS DOUBLE) + -CAST(e[40] AS DOUBLE) + CAST(e[41] AS DOUBLE) + -CAST(e[42] AS DOUBLE) + -CAST(e[43] AS DOUBLE) + -CAST(e[44] AS DOUBLE) + -CAST(e[45] AS DOUBLE) + -CAST(e[46] AS DOUBLE) + CAST(e[47] AS DOUBLE) + -CAST(e[48] AS DOUBLE) + CAST(e[49] AS DOUBLE) + CAST(e[50] AS DOUBLE) + CAST(e[51] AS DOUBLE) + -CAST(e[52] AS DOUBLE) + CAST(e[53] AS DOUBLE) + CAST(e[54] AS DOUBLE) + CAST(e[55] AS DOUBLE) + -CAST(e[56] AS DOUBLE) + CAST(e[57] AS DOUBLE) + -CAST(e[58] AS DOUBLE) + -CAST(e[59] AS DOUBLE) + CAST(e[60] AS DOUBLE) + -CAST(e[61] AS DOUBLE) + CAST(e[62] AS DOUBLE) + -CAST(e[63] AS DOUBLE) + CAST(e[64] AS DOUBLE)) > 0 THEN 64 ELSE 0 END) + (CASE WHEN (CAST(e[1] AS DOUBLE) + CAST(e[2] AS DOUBLE) + CAST(e[3] AS DOUBLE) + CAST(e[4] AS DOUBLE) + CAST(e[5] AS DOUBLE) + -CAST(e[6] AS DOUBLE) + -CAST(e[7] AS DOUBLE) + -CAST(e[8] AS DOUBLE) + -CAST(e[9] AS DOUBLE) + CAST(e[10] AS DOUBLE) + -CAST(e[11] AS DOUBLE) + CAST(e[12] AS DOUBLE) + CAST(e[13] AS DOUBLE) + -CAST(e[14] AS DOUBLE) + -CAST(e[15] AS DOUBLE) + -CAST(e[16] AS DOUBLE) + -CAST(e[17] AS DOUBLE) + -CAST(e[18] AS DOUBLE) + CAST(e[19] AS DOUBLE) + -CAST(e[20] AS DOUBLE) + -CAST(e[21] AS DOUBLE) + CAST(e[22] AS DOUBLE) + -CAST(e[23] AS DOUBLE) + -CAST(e[24] AS DOUBLE) + -CAST(e[25] AS DOUBLE) + CAST(e[26] AS DOUBLE) + CAST(e[27] AS DOUBLE) + CAST(e[28] AS DOUBLE) + CAST(e[29] AS DOUBLE) + CAST(e[30] AS DOUBLE) + -CAST(e[31] AS DOUBLE) + CAST(e[32] AS DOUBLE) + -CAST(e[33] AS DOUBLE) + -CAST(e[34] AS DOUBLE) + -CAST(e[35] AS DOUBLE) + -CAST(e[36] AS DOUBLE) + -CAST(e[37] AS DOUBLE) + CAST(e[38] AS DOUBLE) + -CAST(e[39] AS DOUBLE) + CAST(e[40] AS DOUBLE) + -CAST(e[41] AS DOUBLE) + CAST(e[42] AS DOUBLE) + -CAST(e[43] AS DOUBLE) + -CAST(e[44] AS DOUBLE) + -CAST(e[45] AS DOUBLE) + CAST(e[46] AS DOUBLE) + -CAST(e[47] AS DOUBLE) + CAST(e[48] AS DOUBLE) + -CAST(e[49] AS DOUBLE) + CAST(e[50] AS DOUBLE) + CAST(e[51] AS DOUBLE) + -CAST(e[52] AS DOUBLE) + CAST(e[53] AS DOUBLE) + CAST(e[54] AS DOUBLE) + -CAST(e[55] AS DOUBLE) + CAST(e[56] AS DOUBLE) + -CAST(e[57] AS DOUBLE) + -CAST(e[58] AS DOUBLE) + CAST(e[59] AS DOUBLE) + CAST(e[60] AS DOUBLE) + -CAST(e[61] AS DOUBLE) + -CAST(e[62] AS DOUBLE) + CAST(e[63] AS DOUBLE) + -CAST(e[64] AS DOUBLE)) > 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
+  FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sk WHERE vec_id % 100 = 0),
+p AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(range(1, 65), i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))) AS nc
+  FROM q JOIN sk s USING (bucket) WHERE s.vec_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, round(dot / (nq * nc), 6) AS sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY round(dot / (nq * nc), 6) DESC, neighbor_id) AS rk
+  FROM p
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+""",
         "rel_agg_pricing": f"""
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_qty,
