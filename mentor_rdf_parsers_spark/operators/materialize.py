@@ -84,6 +84,7 @@ def write_stage(
     n_buckets: int = 64,
     repartition_by_bucket: bool = True,
     skip_if_complete: bool = True,
+    write_salt: int = 0,
 ) -> bool:
     """Materialize a triples stage idempotently.
 
@@ -99,7 +100,20 @@ def write_stage(
         return False
     bucketed = with_subject_bucket(triples, n_buckets)
     if repartition_by_bucket:
-        bucketed = bucketed.repartition("s_bucket")
+        if write_salt > 1:
+            # hub-entity skew (north_rule): one hot subject would land an
+            # entire bucket on one writer task — salt the shuffle so each
+            # bucket spreads over `write_salt` tasks; the directory layout
+            # (s_bucket=K) and read-side pruning are unchanged.
+            # explicit partition count: AQE must not coalesce the salt
+            # spread away (it respects user-specified repartition(n))
+            bucketed = bucketed.repartition(
+                n_buckets * write_salt,
+                F.col("s_bucket"),
+                F.pmod(F.xxhash64("s", "p", "o"), F.lit(write_salt)),
+            )
+        else:
+            bucketed = bucketed.repartition("s_bucket")
     bucketed.write.mode("overwrite").partitionBy("s_bucket").parquet(out)
     spark = triples.sparkSession
     written = spark.read.parquet(out)

@@ -369,3 +369,22 @@ def test_corpus_sample_and_pack(spark):
         last = r["pack_id"]
     total = sum(r["n_tokens"] for r in packed)
     assert packed and max(r["pack_id"] for r in packed) == (total - by_id[199]["n_tokens"]) // 16
+
+
+def test_write_stage_salted(spark, tmp_path):
+    """Salted write: hub subject spreads over several files per bucket,
+    while the bucket partition layout stays intact."""
+    import glob
+    rows = [("d", "iri", "urn:hub", "iri", "urn:p", "literal", str(i),
+             None, None, None, None, None, None, None) for i in range(500)]
+    cols = ("doc_id string, s_kind string, s string, p_kind string, p string, "
+            "o_kind string, o string, o_lang string, o_dt string, g_kind string, "
+            "g string, s_off int, p_off int, o_off int")
+    t = spark.createDataFrame(rows, cols)
+    base = str(tmp_path / "salted")
+    assert write_stage(t, base, "triples", n_buckets=4, write_salt=4)
+    bucket_dirs = glob.glob(f"{base}/triples/s_bucket=*")
+    assert len(bucket_dirs) == 1  # one subject → one bucket dir
+    files = glob.glob(f"{bucket_dirs[0]}/part-*.parquet")
+    assert len(files) >= 2        # but several writer tasks (salt spread)
+    assert read_stage(spark, base, "triples").count() == 500
