@@ -296,8 +296,20 @@ class Executor:
     def _compile_pattern(self, node, graph) -> DataFrame:
         t = node["type"]
         if t == "bgp":
+            # join-order heuristic: most-constant patterns first (smallest
+            # scans lead the join chain and stay broadcastable); stable
+            # sort keeps shared-variable chains intact otherwise
+            def selectivity(tp):
+                s_, p_, o_ = tp
+                consts = sum(
+                    1 for term in (s_, p_, o_)
+                    if isinstance(term, tuple) and term[0] in ("iri", "literal")
+                )
+                return -consts
+
+            ordered = sorted(node["triples"], key=selectivity)
             df: Optional[DataFrame] = None
-            for (s, p, o) in node["triples"]:
+            for (s, p, o) in ordered:
                 if isinstance(p, dict):
                     pat = self._path_df(s, p, o, graph)
                 else:
