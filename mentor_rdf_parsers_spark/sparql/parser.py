@@ -187,7 +187,12 @@ def tokenize(text: str) -> List[Tok]:
 
 
 class Parser:
-    def __init__(self, tokens: List[Tok], strict_spec_notes: bool = True):
+    def __init__(
+        self,
+        tokens: List[Tok],
+        strict_spec_notes: bool = True,
+        collect_prefix_errors: bool = False,
+    ):
         self.toks = tokens
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -196,6 +201,8 @@ class Parser:
         self._verb_is_simple_path = True
         self._inside_delete = False
         self.strict_spec_notes = strict_spec_notes
+        self.collect_prefix_errors = collect_prefix_errors
+        self.semantic_errors: List[dict] = []
 
     # --- token utilities ---
     @property
@@ -858,16 +865,29 @@ class Parser:
             self.i += 1
             ns, local = t.value.split(":", 1)
             if ns not in self.prefixes:
-                raise SparqlParseError(f"undefined prefix {ns!r}", t.pos)
+                self._undefined_prefix(ns, t)
             local = re.sub(r"\\(.)", r"\1", local)
-            return ("iri", self.prefixes[ns] + local)
+            return ("iri", self.prefixes.get(ns, f"urn:undefined:{ns}:") + local)
         if t.type == "PNAME_NS":
             self.i += 1
             ns = t.value[:-1]
             if ns not in self.prefixes:
-                raise SparqlParseError(f"undefined prefix {ns!r}", t.pos)
-            return ("iri", self.prefixes[ns])
+                self._undefined_prefix(ns, t)
+            return ("iri", self.prefixes.get(ns, f"urn:undefined:{ns}:"))
         raise SparqlParseError(f"expected IRI, found {t.value!r}", t.pos)
+
+    def _undefined_prefix(self, ns: str, tok: Tok) -> None:
+        """Reference parity: UndefinedNamespacePrefixError is a SEMANTIC
+        error — thrown in strict mode, collected in collecting mode
+        (src/sparql/parser.ts:185-207 analogue; parse(tokens, false))."""
+        if self.collect_prefix_errors:
+            self.semantic_errors.append(
+                {"name": "UndefinedNamespacePrefixError",
+                 "message": f"Undefined prefix: {ns}",
+                 "token": tok.value, "offset": tok.pos}
+            )
+        else:
+            raise SparqlParseError(f"undefined prefix {ns!r}", tok.pos)
 
     # RDF 1.2: reified triples / triple terms / annotations
     def parse_reified_triple(self, acc: list):
@@ -1317,7 +1337,24 @@ def parse_sparql(text: str, strict_spec_notes: bool = True) -> dict:
     """Parse a SPARQL 1.2 query or update string to the AST.
 
     Raises SparqlParseError on any lex/parse error (the reference's
-    throwOnErrors mode; its collecting mode maps to catching this)."""
+    throwOnErrors mode; see parse_sparql_collecting for the other)."""
     resolved = resolve_codepoint_escapes(text)
     toks = tokenize(resolved)
     return Parser(toks, strict_spec_notes=strict_spec_notes).parse_unit()
+
+
+def parse_sparql_collecting(text: str) -> dict:
+    """Collecting mode (reference: ``parse(tokens, throwOnErrors=false)``,
+    semanticErrors channel): undefined namespace prefixes are recorded
+    and parsing continues with a placeholder IRI. Returns
+    {'ast': dict | None, 'semantic_errors': [...], 'parse_error': str | None}."""
+    out = {"ast": None, "semantic_errors": [], "parse_error": None}
+    try:
+        resolved = resolve_codepoint_escapes(text)
+        toks = tokenize(resolved)
+        p = Parser(toks, collect_prefix_errors=True)
+        out["ast"] = p.parse_unit()
+        out["semantic_errors"] = p.semantic_errors
+    except SparqlParseError as e:
+        out["parse_error"] = str(e)
+    return out

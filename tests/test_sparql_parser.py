@@ -111,3 +111,21 @@ def test_nested_aggregates_rejected():
 def test_values_duplicate_var_rejected():
     with pytest.raises(SparqlParseError):
         parse_sparql("SELECT * WHERE { VALUES (?x ?x) { (1 2) } }")
+
+
+def test_collecting_mode_undefined_prefixes():
+    """Reference parity: collecting mode records
+    UndefinedNamespacePrefixError per prefix and still returns an AST
+    (src/sparql/parser.test.ts 'Error Collection' suite)."""
+    from mentor_rdf_parsers_spark.sparql.parser import parse_sparql_collecting
+
+    r = parse_sparql_collecting("SELECT * WHERE { foo:s bar:p baz:o }")
+    assert r["ast"] is not None and r["parse_error"] is None
+    msgs = {e["message"] for e in r["semantic_errors"]}
+    assert msgs == {"Undefined prefix: foo", "Undefined prefix: bar",
+                    "Undefined prefix: baz"}
+    assert all(e["name"] == "UndefinedNamespacePrefixError"
+               for e in r["semantic_errors"])
+    clean = parse_sparql_collecting(
+        "PREFIX ex: <http://e/>\nSELECT * WHERE { ex:s ex:p ex:o }")
+    assert clean["semantic_errors"] == [] and clean["ast"] is not None
