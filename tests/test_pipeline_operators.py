@@ -388,3 +388,19 @@ def test_write_stage_salted(spark, tmp_path):
     files = glob.glob(f"{bucket_dirs[0]}/part-*.parquet")
     assert len(files) >= 2        # but several writer tasks (salt spread)
     assert read_stage(spark, base, "triples").count() == 500
+
+
+def test_salted_join_helpers(spark):
+    """Salted-join pattern: heavy side salted, light side exploded across
+    all salt values → join on (key, salt) distributes one hot key over
+    n_salt partitions without losing rows."""
+    from mentor_rdf_parsers_spark.operators.materialize import explode_salt, with_salt
+
+    heavy = spark.createDataFrame(
+        [("hub", i) for i in range(1000)] + [("cold", 0)], "s string, payload int"
+    )
+    light = spark.createDataFrame([("hub", "H"), ("cold", "C")], "s string, val string")
+    salted = with_salt(heavy, "s", n_salt=8)
+    assert salted.select("salt").distinct().count() > 1  # hub actually spreads
+    joined = salted.join(explode_salt(light, 8), ["s", "salt"])
+    assert joined.count() == 1001  # no row lost or duplicated

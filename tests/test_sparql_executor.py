@@ -235,3 +235,18 @@ def test_min_max_on_strings(graph):
         SELECT (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) WHERE { ?p :name ?n }""", graph)
     r = out.collect()[0]
     assert (r["lo"], r["hi"]) == ("Alice", "Bob")
+
+
+def test_describe_iri(graph):
+    out = execute(PREFIX + "DESCRIBE :alice", graph)
+    # every triple mentioning alice (as s or o), across graphs
+    assert out.count() == 5
+    subjects = {r["s"] for r in out.collect()}
+    assert "http://ex/alice" in subjects
+
+
+def test_construct_where_shorthand(graph):
+    out = execute(PREFIX + "CONSTRUCT WHERE { ?x :knows ?y }", graph)
+    got = sorted((r["s"], r["o"]) for r in out.collect())
+    assert got == [("http://ex/alice", "http://ex/bob"),
+                   ("http://ex/bob", "http://ex/carol")]
