@@ -82,6 +82,18 @@ def run_pipeline(
         canon = canonicalize_triples(triples, checkpoint_dir=checkpoint_dir)
         write_stage(canon, out_dir, "canonical", n_buckets=n_buckets)
     stats["canonical"] = read_stage(spark, out_dir, "canonical").count()
+
+    # ---- stage 4: media (interleaved media spans → metadata table) ----
+    # media spans are pass-through for the parsers; here they feed the
+    # multimodal path: ref extraction → (stubbed) decode → metadata
+    media_dir = os.path.join(out_dir, "media_meta")
+    if not os.path.exists(os.path.join(media_dir, "_SUCCESS")):
+        from .operators.multimodal import decode_images, media_from_documents
+
+        media = media_from_documents(documents)
+        meta = decode_images(media).drop("features")
+        meta.write.mode("overwrite").parquet(media_dir)
+    stats["media"] = spark.read.parquet(media_dir).count()
     return stats
 
 

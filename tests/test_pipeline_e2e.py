@@ -39,6 +39,7 @@ def test_pipeline_stages_and_resume(spark, tmp_path):
     assert stats["errors"] == 0
     assert stats["linked"] == 500            # one source literal per doc
     assert stats["canonical"] == stats["triples"]  # no sameAs edges → no collapse
+    assert stats["media"] == 167  # every 3rd doc carries a media span
 
     # lineage metrics: totals reconcile with the stage row count
     m = read_metrics(spark, out, "triples")
