@@ -118,6 +118,26 @@ def _dsum(col) -> F.Column:
     return F.sum(col.cast("decimal(20,6)")).cast("decimal(38,6)")
 
 
+def _present(col, k: int) -> F.Column:
+    """Decimal → double *presentation* cast for final projections.
+
+    The driver's value-hasher canonicalizes Decimal differently per
+    engine (round-1 finding: every decimal-typed output column
+    hash-mismatched while str-comparing equal), so query outputs never
+    expose decimal. Round in decimal first — exact in both engines, and
+    `k` is always ≥ the true fractional digits so the round is an
+    identity (no rounding-mode dependence) — then cast: once the
+    unscaled value fits in 2^53 the cast is a single correctly-rounded
+    IEEE division in BOTH engines (Spark BigDecimal.doubleValue, DuckDB
+    unscaled/10^k), giving bit-identical doubles."""
+    return F.round(col, k).cast("double")
+
+
+def _dsum_d(col, k: int = 2) -> F.Column:
+    """`_dsum` with the `_present` double projection applied."""
+    return _present(_dsum(col), k)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -229,7 +249,7 @@ def q_kg_pagerank(spark, sf_dir):
     pr = pagerank(edges, iterations=3)
     return pr.select(
         F.col("node").alias("doc_id"),
-        F.round("rank", 9).cast("decimal(20,9)").alias("rank"),
+        _present(F.col("rank"), 6).alias("rank"),
     )
 
 
@@ -331,12 +351,15 @@ def q_rel_agg_pricing(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,6)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
-            ).cast("decimal(38,12)").alias("sum_disc_price"),
+            _dsum_d(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum_d(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _present(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+                ).cast("decimal(38,12)"),
+                4,
+            ).alias("sum_disc_price"),
             F.count("*").alias("n"),
         )
     )
@@ -360,6 +383,7 @@ def q_rel_join_topk(spark, sf_dir):
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
+        .select("o_orderkey", _present(F.col("revenue"), 4).alias("revenue"))
     )
 
 
@@ -373,7 +397,7 @@ def q_rel_broadcast_dim(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            _dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+            _dsum_d(F.col("c_acctbal"), 2).alias("sum_acctbal"),
         )
     )
 
@@ -436,7 +460,7 @@ def q_rel_rollup(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("qty"))
+        .agg(F.count("*").alias("n"), _dsum_d(F.col("l_quantity"), 2).alias("qty"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
@@ -464,7 +488,7 @@ def q_events_hourly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("value_sum"))
+        .agg(F.count("*").alias("n"), _dsum_d(F.col("value"), 6).alias("value_sum"))
     )
 
 
@@ -628,6 +652,14 @@ def _shingle_expr(n: int = 3) -> str:
     )
 
 
+def _hex_byte_sql(col: str, i: int) -> str:
+    """DuckDB expression: byte `i` (0-based) of a hex-digest column."""
+    nib = "strpos('0123456789abcdef', substr({c}, {p}, 1)) - 1"
+    hi = nib.format(c=col, p=2 * i + 1)
+    lo = nib.format(c=col, p=2 * i + 2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
 def _simhash_sql() -> str:
     """DuckDB expression replicating operators.dedup.simhash32."""
     bit_sums = []
@@ -763,7 +795,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": """
 SELECT doc_id,
   CAST(CASE pos WHEN 0 THEN 0.15 WHEN 1 THEN 0.2775 WHEN 2 THEN 0.385875
-       ELSE 1.0 END AS DECIMAL(20,9)) AS rank
+       ELSE 1.0 END AS DOUBLE) AS rank
 FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos
@@ -870,24 +902,42 @@ r AS (
 )
 SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
 """,
+        # the deterministic fake decode (operators/multimodal.py:_fake_decode)
+        # is a pure function of sha256(payload) where payload is the UTF-8
+        # media_ref — reproducible in DuckDB (sha256 is bit-identical)
+        "media_decode": f"""
+WITH m AS (
+  SELECT doc_id, 'media://doc/' || CAST(doc_id AS VARCHAR) || '/img0' AS ref
+  FROM documents WHERE doc_id % 3 = 0
+),
+h AS (SELECT doc_id, ref, sha256(ref) AS sha FROM m)
+SELECT '{DOC_NS}' || CAST(doc_id AS VARCHAR) || '#1' AS media_id,
+  CAST(16 + ({_hex_byte_sql('sha', 0)}) % 240 AS INT) AS width,
+  CAST(16 + ({_hex_byte_sql('sha', 1)}) % 240 AS INT) AS height,
+  CAST(length(ref) AS INT) AS n_bytes,
+  sha
+FROM h
+""",
         "rel_agg_pricing": f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_base_price,
-  CAST(SUM({_DISC_REV}) AS DECIMAL(38,12)) AS sum_disc_price,
+  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(CAST(SUM({_DISC_REV}) AS DECIMAL(38,12)), 4) AS DOUBLE) AS sum_disc_price,
   COUNT(*)::BIGINT AS n
 FROM lineitem GROUP BY 1, 2
 """,
         "rel_join_topk": f"""
-SELECT o_orderkey, CAST(SUM({_DISC_REV}) AS DECIMAL(38,12)) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+SELECT o_orderkey, CAST(ROUND(revenue, 4) AS DOUBLE) AS revenue FROM (
+  SELECT o_orderkey, CAST(SUM({_DISC_REV}) AS DECIMAL(38,12)) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+)
 """,
         "rel_broadcast_dim": """
 SELECT r_name, COUNT(*)::BIGINT AS n_customers,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS sum_acctbal
+  CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -918,7 +968,7 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
         "rel_rollup": """
 SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
   COUNT(*)::BIGINT AS n,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS qty
+  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "rel_intersect": """
@@ -929,7 +979,7 @@ WHERE l_quantity >= 45
 """,
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS n,
-  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS value_sum
+  CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6)), 6) AS DOUBLE) AS value_sum
 FROM events GROUP BY 1, 2
 """,
         "events_sessions": """

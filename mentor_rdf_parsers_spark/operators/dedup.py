@@ -160,11 +160,52 @@ def dedup_simhash(
 
 
 def dedup_keep_first(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    exact: bool = False, max_iter: int = 20,
 ) -> DataFrame:
-    """Resolve near-dup pairs into a keep/drop decision: drop every id
-    that appears as the `b` (larger) side of a pair whose `a` survives —
-    the standard union-find-free greedy used by web-scale dedup (each
-    doc keeps iff it is not dominated by a smaller id)."""
-    drops = pairs.select(F.col("b").alias(id_col)).distinct()
-    return df.join(drops, id_col, "left_anti")
+    """Resolve near-dup pairs (a < b) into a keep/drop decision.
+
+    Default (``exact=False``): drop every id that appears as the
+    dominated ``b`` side of ANY pair — one anti-join, the cheapest
+    web-scale policy. Note it over-drops on chains: with pairs (a,b),
+    (b,c) it drops c even though c's only dominator b was itself
+    dropped.
+
+    ``exact=True``: the true keep-first greedy — an id is dropped only
+    if dominated by a SURVIVING id — computed by topological peeling
+    (round k keeps the ids whose every remaining dominator is gone,
+    then discards their dominated neighbors). Rounds ∝ longest
+    domination chain; near-dup clusters are shallow in practice, and
+    ``max_iter`` bounds pathological inputs.
+    """
+    if not exact:
+        drops = pairs.select(F.col("b").alias(id_col)).distinct()
+        return df.join(drops, id_col, "left_anti")
+
+    p = pairs.select("a", "b").where(F.col("a") < F.col("b")).distinct() \
+        .localCheckpoint(eager=True)
+    dropped = None
+    for _ in range(max_iter):
+        if p.isEmpty():
+            break
+        # roots: ids never appearing as b in the remaining pair set are
+        # certain survivors; everything they dominate is dropped
+        roots = p.select(F.col("a").alias("id")).distinct().join(
+            p.select(F.col("b").alias("id")).distinct(), "id", "left_anti"
+        )
+        newly = (
+            p.join(roots.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id")).distinct()
+        )
+        dropped = newly if dropped is None else dropped.union(newly).distinct()
+        dropped = dropped.localCheckpoint(eager=True)
+        # dropped ids neither dominate nor need re-deciding
+        p = (
+            p.join(dropped.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(dropped.withColumnRenamed("id", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    if dropped is None:
+        return df
+    return df.join(dropped.withColumnRenamed("id", id_col), id_col, "left_anti")

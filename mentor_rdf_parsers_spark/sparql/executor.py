@@ -283,7 +283,36 @@ class Executor:
         if not rx.columns:
             return lx
         if shared:
-            return lx.join(rx, on=shared, how=how)
+            # SPARQL compatible-join: an UNBOUND (NULL) shared variable is
+            # compatible with any binding and the merged solution takes the
+            # bound side. Plain equi-joins are null-unsafe and would drop
+            # such solutions. Shared vars can only be unbound when they came
+            # through OPTIONAL / UNION-with-missing-branch — exactly the
+            # cases where Spark marks the column nullable — so the common
+            # all-bound case keeps the fast hashable equi-join and only
+            # nullable shared vars pay the condition-join.
+            nullable = [
+                c for c in shared
+                if lx.schema[c].nullable or rx.schema[c].nullable
+            ]
+            if not nullable:
+                return lx.join(rx, on=shared, how=how)
+            L, R = lx.alias("__L"), rx.alias("__R")
+            cond = None
+            for c in shared:
+                lc, rc = F.col(f"__L.`{c}`"), F.col(f"__R.`{c}`")
+                cc = (
+                    (lc.isNull() | rc.isNull() | (lc == rc))
+                    if c in nullable else (lc == rc)
+                )
+                cond = cc if cond is None else cond & cc
+            out = L.join(R, cond, how)
+            cols = [
+                (F.coalesce(F.col(f"__L.`{c}`"), F.col(f"__R.`{c}`")).alias(c)
+                 if c in shared else F.col(f"__L.`{c}`").alias(c))
+                for c in lx.columns
+            ] + [F.col(f"__R.`{c}`").alias(c) for c in rx.columns if c not in shared]
+            return out.select(*cols)
         if how == "inner":
             return lx.crossJoin(rx)
         if how == "left":
@@ -335,10 +364,27 @@ class Executor:
                     inner = self._compile_pattern(sub["pattern"], graph)
                     if df is None:
                         raise SparqlExecutionError("MINUS with empty left side")
-                    shared = [c for c in df.columns if c in inner.columns]
+                    shared = [c for c in df.columns
+                              if c in inner.columns and not c.startswith("__")]
                     if shared:
-                        df = df.join(inner.select(shared).distinct(), on=shared,
-                                     how="left_anti")
+                        nullable = [c for c in shared
+                                    if df.schema[c].nullable or inner.schema[c].nullable]
+                        rsub = inner.select(shared).distinct()
+                        if not nullable:
+                            df = df.join(rsub, on=shared, how="left_anti")
+                        else:
+                            # spec MINUS: drop μ1 iff ∃μ2 compatible (per-var
+                            # NULL-tolerant equality) AND dom(μ1)∩dom(μ2)≠∅
+                            # (at least one shared var bound on BOTH sides)
+                            L, R = df.alias("__L"), rsub.alias("__R")
+                            compat, overlap = None, None
+                            for c in shared:
+                                lc, rc = F.col(f"__L.`{c}`"), F.col(f"__R.`{c}`")
+                                cc = lc.isNull() | rc.isNull() | (lc == rc)
+                                ov = lc.isNotNull() & rc.isNotNull()
+                                compat = cc if compat is None else compat & cc
+                                overlap = ov if overlap is None else overlap | ov
+                            df = L.join(R, compat & overlap, "left_anti")
                     continue
                 if sub["type"] == "bind":
                     if df is None:

@@ -106,23 +106,45 @@ def execute_update(update_text: str, triples: DataFrame) -> DataFrame:
             current = _remove(current, victims)
         elif kind == "deletewhere":
             ex = Executor(current, spark)
-            bgp = {"type": "bgp", "triples": [(s, p, o) for (s, p, o, _g) in op["quads"]]}
-            # GRAPH-scoped quads in DELETE WHERE: group by graph context
-            graphs = {g[1] if g else None for (_s, _p, _o, g) in op["quads"]}
+            # GRAPH-scoped quads in DELETE WHERE: group by graph context.
+            # The context is the full term — ('iri', v) scopes to that
+            # graph, ('var', name) matches every named graph and the
+            # bound graph term flows into the victim quads.
+            graphs = {g if g else None for (_s, _p, _o, g) in op["quads"]}
             victims = None
-            for gval in graphs:
+            for gctx in graphs:
                 sub = [(s, p, o) for (s, p, o, g) in op["quads"]
-                       if (g[1] if g else None) == gval]
-                gctx = ("iri", gval) if gval else None
+                       if (g if g else None) == gctx]
                 b = ex._compile_pattern({"type": "bgp", "triples": sub}, gctx)
-                v = _instantiate(
-                    ex, b, [(s, p, o, ("iri", gval) if gval else None) for (s, p, o) in sub]
-                )
+                v = _instantiate(ex, b, [(s, p, o, gctx) for (s, p, o) in sub])
                 victims = v if victims is None else victims.unionByName(v)
             current = _remove(current, victims)
         elif kind == "modify":
-            ex = Executor(current, spark)
-            gctx = op["with"] if op["with"] else None
+            using = op.get("using") or []
+            if using:
+                # USING re-defines the WHERE dataset (and overrides WITH
+                # there; WITH still applies to the templates): default
+                # graph = union of USING graphs re-labelled as default,
+                # named graphs = the USING NAMED ones.
+                default_iris = [u["iri"][1] for u in using if not u["named"]]
+                named_iris = [u["iri"][1] for u in using if u["named"]]
+                parts = []
+                if default_iris:
+                    parts.append(
+                        current.where(F.col("g").isin(default_iris))
+                        .withColumn("g", F.lit(None).cast("string"))
+                        .withColumn("g_kind", F.lit(None).cast("string"))
+                    )
+                if named_iris:
+                    parts.append(current.where(F.col("g").isin(named_iris)))
+                dataset = parts[0] if parts else current.limit(0)
+                for p in parts[1:]:
+                    dataset = dataset.unionByName(p)
+                ex = Executor(dataset.dropDuplicates(_KEY), spark)
+                gctx = None
+            else:
+                ex = Executor(current, spark)
+                gctx = op["with"] if op["with"] else None
             bindings = ex._compile_pattern(op["where"], gctx)
             bindings = bindings.persist()
             bindings.count()

@@ -172,6 +172,20 @@ def test_dedup_keep_first(spark, docs):
     assert kept == [1, 4, 5, 6]
 
 
+def test_dedup_keep_first_exact_chain(spark, docs):
+    # chain 1<2<3<4: greedy keeps 1, drops 2 (dominated by surviving 1),
+    # keeps 3 (its only dominator 2 was dropped), drops 4 (dominated by 3);
+    # the default fast mode over-drops every b side
+    ids = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    fast = sorted(r["doc_id"] for r in dedup_keep_first(ids, chain).collect())
+    assert fast == [1]
+    exact = sorted(
+        r["doc_id"] for r in dedup_keep_first(ids, chain, exact=True).collect()
+    )
+    assert exact == [1, 3]
+
+
 # ---------------------------------------------------------------- textstats
 
 

@@ -250,3 +250,42 @@ def test_construct_where_shorthand(graph):
     got = sorted((r["s"], r["o"]) for r in out.collect())
     assert got == [("http://ex/alice", "http://ex/bob"),
                    ("http://ex/bob", "http://ex/carol")]
+
+
+def test_compatibility_join_unbound_union_var(graph):
+    """SPARQL compatible-join: a shared var left unbound by one UNION
+    branch joins with ANY binding and the merged solution takes the
+    bound value (a null-unsafe equi-join would drop the branch)."""
+    out = execute(PREFIX + """
+        SELECT DISTINCT ?x ?y WHERE {
+            { ?x :knows ?y } UNION { ?x a :Person }
+            ?x :name ?y .
+        }""", graph)
+    # branch 1 binds ?y to IRIs — never equal to a name literal;
+    # branch 2 leaves ?y unbound, so it must merge with the name pattern
+    assert rows(out, "x", "y") == [
+        ("http://ex/alice", "Alice"), ("http://ex/bob", "Bob")]
+
+
+def test_minus_compatible_with_unbound_var(graph):
+    """MINUS removes a solution when some right solution is compatible
+    (unbound shared vars are compatible with anything) and shares at
+    least one bound var — dave's unbound ?n must not shield it."""
+    out = execute(PREFIX + """
+        SELECT ?p ?n WHERE {
+            ?p a :Person .
+            OPTIONAL { ?p :age ?n }
+            MINUS { ?p a :Person . ?q :age ?n }
+        }""", graph)
+    # right side has (p, n) for every person × every age value, so every
+    # left row (including dave with ?n unbound) is compatible + overlapping
+    assert out.count() == 0
+
+
+def test_minus_unshared_bound_var_still_removes_exact(graph):
+    out = execute(PREFIX + """
+        SELECT ?p WHERE {
+            ?p a :Person .
+            MINUS { ?p :age ?a }
+        }""", graph)
+    assert rows(out, "p") == [("http://ex/dave",)]

@@ -90,3 +90,38 @@ def test_update_sequence(graph):
         PREFIX + "INSERT DATA { :x :q :y } ; DELETE DATA { :x :q :y }", graph
     )
     assert out.count() == graph.count()
+
+
+def test_modify_using_defines_where_dataset(graph):
+    """USING <g> makes g the WHERE clause's default graph (the triple
+    :c :old :a lives only in :g1, invisible to the plain default)."""
+    out = execute_update(
+        PREFIX + "INSERT { ?s :flag \"y\" } USING :g1 WHERE { ?s :old ?o }",
+        graph,
+    )
+    assert ("http://ex/c", "http://ex/flag", "y", None) in facts(out)
+
+
+def test_modify_using_named(graph):
+    out = execute_update(
+        PREFIX + "INSERT { ?s :seen ?g } USING NAMED :g1 "
+        "WHERE { GRAPH ?g { ?s :old ?o } }",
+        graph,
+    )
+    assert ("http://ex/c", "http://ex/seen", "http://ex/g1", None) in facts(out)
+
+
+def test_modify_without_using_ignores_named_graphs(graph):
+    out = execute_update(
+        PREFIX + "INSERT { ?s :flag \"y\" } WHERE { ?s :old ?o }", graph
+    )
+    assert all(p != "http://ex/flag" for (_s, p, _o, _g) in facts(out))
+
+
+def test_delete_where_variable_graph(graph):
+    out = execute_update(
+        PREFIX + "DELETE WHERE { GRAPH ?g { ?s :old ?o } }", graph
+    )
+    got = facts(out)
+    assert all(p != "http://ex/old" for (_s, p, _o, _g) in got)
+    assert len(got) == 2  # both default-graph rows survive

@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -77,6 +78,12 @@ def run(sf_dir: str, only: list[str]) -> int:
             failures += 1
             continue
         status = []
+        # round-1 finding: the driver's value-hasher canonicalizes Decimal
+        # differently per engine — any Decimal output column is a hash
+        # mismatch waiting to happen, even when str-compare passes
+        for rows, side in ((srows, "spark"), (drows, "duckdb")):
+            if rows and any(isinstance(c, decimal.Decimal) for c in rows[0]):
+                status.append(f"{side} emits Decimal-typed columns (driver-hash hazard)")
         if sorted(scols) != sorted(dcols):
             status.append(f"cols spark={scols} duck={dcols}")
         if len(srows) != len(drows):
