@@ -20,11 +20,39 @@ DuckDB oracle must reproduce values bit-for-bit.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .linking import minhash_candidate_pairs, normalize_key, shingle_tokens
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """(id, s) — one row per distinct shingle per document.
+
+    ``max_doc_freq`` is the web-scale guard for every shingle-equi-join
+    downstream: a shingle appearing in more than that many documents
+    (stop-word runs, boilerplate) is dropped BEFORE any self-join, which
+    bounds the join's shuffle at Σ df² over surviving shingles instead
+    of letting one hot shingle go quadratic over the corpus."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_tokens(F.col(text_col), shingle_n))).alias("s"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(hot, "s", "left_anti")
+    return sh
 
 
 def dedup_exact(
@@ -48,21 +76,34 @@ def dedup_minhash_lsh(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
     min_jaccard: float = 0.7, hash_fn: str = "xxhash64",
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """LSH candidate pairs verified with exact shingle Jaccard.
 
     Output: (a, b, jaccard) with a < b and jaccard ≥ min_jaccard.
+
+    The corpus is tokenized/shingled ONCE: the exploded shingle frame is
+    persisted and shared between the banding pass and the verification
+    arrays (round-1 bench showed re-shingling in the verification join
+    dominating the query). ``max_doc_freq`` drops boilerplate shingles
+    before banding — see :func:`_exploded_shingles`; the Jaccard is then
+    over the capped shingle sets on both sides.
     """
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n, max_doc_freq).persist()
     pairs = minhash_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn, shingles=sh
     )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingle_tokens(F.col(text_col), shingle_n)).alias("sh"),
+    arrays = sh.groupBy("id").agg(F.collect_list("s").alias("sh"))
+    # docs with zero (post-cap) shingles: empty array, matching the
+    # banding sentinel behavior (they only pair with each other)
+    arrays = (
+        df.select(F.col(id_col).alias("id"))
+        .join(arrays, "id", "left")
+        .select("id", F.coalesce("sh", F.array().cast("array<string>")).alias("sh"))
     )
     return (
-        pairs.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
-        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
+        pairs.join(arrays.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(arrays.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
         .withColumn(
             "jaccard",
             F.when(
@@ -79,17 +120,17 @@ def dedup_minhash_lsh(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, min_jaccard: float = 0.5,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle-explode equi-join.
 
-    Shuffle ∝ Σ shingle frequency² — bounded by dropping ultra-common
-    shingles (document-frequency cap) the way a 100 TB run must; here the
-    cap is a parameterizable guard (off for oracle parity at small SF).
+    Shuffle ∝ Σ shingle frequency² — a 100 TB run MUST cap it with
+    ``max_doc_freq`` (shingles above the document-frequency cap are
+    dropped before the self-join and excluded from both sides' set
+    sizes, so the result stays a true Jaccard of the capped sets).
+    Left off only for small-SF oracle parity.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingle_tokens(F.col(text_col), shingle_n))).alias("s"),
-    )
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x")

@@ -97,6 +97,7 @@ def minhash_bands(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id, text) → exploded (id, band_idx, band_hash) blocking keys.
 
@@ -104,9 +105,13 @@ def minhash_bands(
     expressions: N array-lambda min-hash columns each re-inline the whole
     tokenize/shingle tree (N× tokenization per row and a codegen blowup —
     measured 20× slower at sf0.1); the exploded form materializes each
-    shingle once and the N mins aggregate map-side."""
+    shingle once and the N mins aggregate map-side.
+
+    ``shingles``: an already-built (id, s) exploded shingle DataFrame —
+    pass a persisted one to share the tokenize/shingle work with a
+    verification pass (see dedup.dedup_minhash_lsh)."""
     rows_per_band = num_hashes // bands
-    sh = df.select(
+    sh = shingles if shingles is not None else df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingle_tokens(F.col(text_col), shingle_n))).alias("s"),
     )
@@ -151,9 +156,12 @@ def minhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """LSH candidate pairs (a < b) — documents sharing ≥1 band."""
-    bandsdf = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
+    bandsdf = minhash_bands(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn, shingles
+    )
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
     return (

@@ -5,31 +5,47 @@ The reference parses SPARQL property paths (`/ | ^ * + ? !(…)`,
 them; this module is the Spark execution for the recursive ones.
 `p+` / `p*` are iterative transitive closure — Catalyst has no
 recursion, so a driver loop with **path doubling** does it in
-O(log diameter) self-joins (SURVEY.md §4.2), localCheckpoint per
-iteration to cut lineage.
+O(log diameter) self-joins (SURVEY.md §4.2), lineage cut per iteration
+(localCheckpoint by default, reliable checkpoints via
+``checkpoint_dir`` for long/resumable runs).
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .canonicalize import _cut
 
-def transitive_closure(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+
+def transitive_closure(
+    edges: DataFrame, max_iter: int = 30,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
     """(src, dst) → all pairs (src, dst) connected by a directed path.
 
     Path doubling: R ← R ∪ (R ∘ R) squares the reachable path length
     each round, so a 10^6-long chain closes in ~20 joins instead of 10^6.
     Output is distinct pairs; self-loops only if present in the input.
+
+    ``checkpoint_dir`` switches the per-round lineage cut to reliable
+    checkpoints — the round-1 finding is that ``localCheckpoint`` alone
+    does not dependably stop exponential recompute in self-join loops on
+    this Spark build, so long-running closures should pass a directory
+    (mirrors canonicalize.connected_components).
     """
-    closure = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    if checkpoint_dir:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    closure = _cut(edges.select("src", "dst").distinct(), checkpoint_dir)
     for _ in range(max_iter):
         new_pairs = (
             closure.alias("a")
             .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         )
-        grown = closure.union(new_pairs).distinct().localCheckpoint(eager=True)
+        grown = _cut(closure.union(new_pairs).distinct(), checkpoint_dir)
         # fixpoint when no pair was added
         if grown.count() == closure.count():
             closure = grown
@@ -70,6 +86,7 @@ def pagerank(
     iterations: int = 3,
     damping: str = "0.85",
     scale: int = 18,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over (src, dst) edges → (node, rank).
 
@@ -87,11 +104,13 @@ def pagerank(
     d = F.lit(damping).cast(dec)
     one_minus_d = (F.lit(1).cast(dec) - d).cast(dec)
 
-    nodes = (
+    if checkpoint_dir:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    nodes = _cut(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1).cast(dec))
@@ -106,14 +125,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").cast(dec).alias("inflow"))
         )
-        ranks = (
+        ranks = _cut(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (one_minus_d + d * F.coalesce(
                     F.col("inflow"), F.lit(0).cast(dec)
                 )).cast(dec).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
     return ranks

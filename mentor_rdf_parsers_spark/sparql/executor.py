@@ -918,26 +918,41 @@ class Executor:
                 out = out.unionByName(x)
             return out.dropDuplicates()
         if form == "describe":
-            if q["where"] is not None and q["targets"] != "*":
+            # the described-IRI set stays a DataFrame end to end (never
+            # collected to the driver — at scale the binding set can be
+            # arbitrarily large); the store is then LEFT SEMI joined on
+            # s and on o. Constant targets come from the query text, so
+            # a driver-side literal frame for them is bounded and fine.
+            const_iris = [
+                t[1] for t in (q["targets"] if q["targets"] != "*" else [])
+                if t[0] == "iri"
+            ]
+            parts = []
+            if const_iris:
+                parts.append(self.spark.createDataFrame(
+                    [(i,) for i in const_iris], "__iri string"))
+            if q["where"] is not None:
                 df = self._compile_pattern(q["where"], None)
-                iris = set()
-                for t in q["targets"]:
-                    if t[0] == "iri":
-                        iris.add(t[1])
-                    else:
-                        for r in df.select(t[1]).distinct().collect():
-                            if r[0] and r[0]["kind"] == "iri":
-                                iris.add(r[0]["v"])
-            elif q["targets"] != "*":
-                iris = {t[1] for t in q["targets"] if t[0] == "iri"}
-            else:
-                df = self._compile_pattern(q["where"], None)
-                iris = set()
-                for c in [c for c in df.columns if not c.startswith("__")]:
-                    for r in df.select(c).distinct().collect():
-                        if r[0] and r[0]["kind"] == "iri":
-                            iris.add(r[0]["v"])
-            return self.triples.where(F.col("s").isin(list(iris)) | F.col("o").isin(list(iris)))
+                if q["targets"] == "*":
+                    var_targets = [c for c in df.columns if not c.startswith("__")]
+                else:
+                    var_targets = [t[1] for t in q["targets"] if t[0] == "var"]
+                for c in var_targets:
+                    parts.append(
+                        df.where(F.col(c).isNotNull() & (F.col(c)["kind"] == "iri"))
+                        .select(F.col(c)["v"].alias("__iri"))
+                    )
+            if not parts:
+                return self.triples.limit(0)
+            iris = parts[0]
+            for p in parts[1:]:
+                iris = iris.union(p)
+            iris = iris.distinct()
+            on_s = self.triples.join(
+                iris, self.triples["s"] == iris["__iri"], "left_semi")
+            on_o = self.triples.join(
+                iris, self.triples["o"] == iris["__iri"], "left_semi")
+            return on_s.union(on_o).dropDuplicates()
         raise SparqlExecutionError(f"unsupported form {form}")
 
 

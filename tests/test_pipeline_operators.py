@@ -418,3 +418,37 @@ def test_salted_join_helpers(spark):
     assert salted.select("salt").distinct().count() > 1  # hub actually spreads
     joined = salted.join(explode_salt(light, 8), ["s", "salt"])
     assert joined.count() == 1001  # no row lost or duplicated
+
+
+def test_ngram_jaccard_doc_freq_cap(spark, docs):
+    from mentor_rdf_parsers_spark.operators.dedup import (
+        _exploded_shingles,
+        dedup_minhash_lsh,
+        ngram_jaccard_pairs,
+    )
+
+    base = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()}
+    # a cap no shingle exceeds is a no-op
+    capped_hi = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.5, max_doc_freq=100).collect()
+    }
+    assert capped_hi == base
+    # cap=1 drops every shared shingle → the equi-join has nothing to
+    # match on (bounded shuffle) and no pairs survive
+    assert _exploded_shingles(docs, "doc_id", "text", 3, max_doc_freq=1) \
+        .groupBy("s").count().where(F.col("count") > 1).isEmpty()
+    assert ngram_jaccard_pairs(docs, min_jaccard=0.0, max_doc_freq=1).isEmpty()
+    # the cap threads through the LSH verifier too
+    lsh_hi = {(r["a"], r["b"]) for r in
+              dedup_minhash_lsh(docs, min_jaccard=0.99, max_doc_freq=100).collect()}
+    assert lsh_hi == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_transitive_closure_checkpoint_dir(spark, tmp_path):
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = transitive_closure(edges, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert out.count() == n * (n - 1) // 2

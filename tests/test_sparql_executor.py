@@ -289,3 +289,33 @@ def test_minus_unshared_bound_var_still_removes_exact(graph):
             MINUS { ?p :age ?a }
         }""", graph)
     assert rows(out, "p") == [("http://ex/dave",)]
+
+
+def test_describe_var_stays_distributed(graph, monkeypatch):
+    """DESCRIBE with variable targets must build the IRI set as a
+    semi-join, never collecting bindings to the driver (a driver-side
+    materialization caps out long before 100 TB)."""
+    import pyspark.sql as psql
+
+    def boom(self):
+        raise AssertionError("driver-side collect inside DESCRIBE compile")
+
+    monkeypatch.setattr(psql.DataFrame, "collect", boom)
+    out = execute(PREFIX + "DESCRIBE ?x WHERE { ?x :knows :bob }", graph)
+    monkeypatch.undo()
+    # ?x = alice → every triple mentioning alice as s or o
+    assert out.count() == 5
+    assert {r["s"] for r in out.collect()} >= {"http://ex/alice"}
+
+
+def test_describe_star(graph, monkeypatch):
+    import pyspark.sql as psql
+
+    def boom(self):
+        raise AssertionError("driver-side collect inside DESCRIBE compile")
+
+    monkeypatch.setattr(psql.DataFrame, "collect", boom)
+    out = execute(PREFIX + "DESCRIBE * WHERE { ?x :knows ?y }", graph)
+    monkeypatch.undo()
+    subjects = {r["s"] for r in out.collect()}
+    assert {"http://ex/alice", "http://ex/bob", "http://ex/carol"} <= subjects
