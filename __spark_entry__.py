@@ -674,24 +674,33 @@ def _simhash_sql() -> str:
 
 
 def _minhash_sql() -> str:
-    """CTE chain reproducing minhash_candidate_pairs(hash_fn='md5')."""
+    """CTE chain reproducing minhash_candidate_pairs(hash_fn='md5'):
+    Kirsch-Mitzenmacher double hashing — hash_i = (h1 + i·h2) mod P with
+    h1/h2 the two 32-bit halves of one md5 per shingle (matches
+    operators/linking.py:minhash_bands md5 mode exactly)."""
+    prime = 4294967291
     mh_cols = ", ".join(
-        f"min(md5('{i}:' || s)) AS h{i}" for i in range(16)
+        f"min((h1 + {i} * h2) % {prime}) AS h{i}" for i in range(16)
     )
     sentinel_cols = ", ".join(
-        f"coalesce(h{i}, 'empty{i}') AS h{i}" for i in range(16)
+        f"coalesce(h{i}, {-(i + 1)}) AS h{i}" for i in range(16)
     )
     bands = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM mh".format(
             b=b,
-            concat=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)),
+            concat=" || '|' || ".join(
+                f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4)
+            ),
         )
         for b in range(4)
     )
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, unnest({_shingle_expr(3)}) AS s FROM toks),
-mh0 AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+shm AS (SELECT doc_id, md5(s) AS m FROM sh),
+sh2 AS (SELECT doc_id, CAST('0x' || substr(m, 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substr(m, 9, 8) AS BIGINT) AS h2 FROM shm),
+mh0 AS (SELECT doc_id, {mh_cols} FROM sh2 GROUP BY doc_id),
 mh AS (SELECT d.doc_id, {sentinel_cols}
        FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN mh0 ON d.doc_id = mh0.doc_id),
 bands AS ({bands})

@@ -69,28 +69,11 @@ def shingle_tokens(col: Column, n: int = 3) -> Column:
     return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(
-    shingles: Column, num_hashes: int = 16, hash_fn: str = "xxhash64"
-) -> list[Column]:
-    """One min-hash per seed over the shingle array.
-
-    ``xxhash64`` (fast, JVM) or ``md5`` (slower; deterministic across
-    engines, used by the DuckDB oracle checks). Empty shingle sets get a
-    sentinel so empty docs all collide with each other only.
-    """
-    out = []
-    for i in range(num_hashes):
-        if hash_fn == "md5":
-            h = F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
-            out.append(F.coalesce(h, F.lit(f"empty{i}")).alias(f"mh{i}"))
-        else:
-            h = F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s))
-            )
-            out.append(F.coalesce(h, F.lit(-(2**62) - i)).alias(f"mh{i}"))
-    return out
+# Kirsch-Mitzenmacher double hashing for the md5 (cross-engine) minhash
+# mode: hash_i(s) = (h1(s) + i·h2(s)) mod P with h1/h2 = the two 32-bit
+# halves of ONE md5 per shingle — 16× fewer md5 evaluations than hashing
+# (i, s) per seed, and exactly reproducible in DuckDB SQL.
+MINHASH_PRIME = 4294967291  # largest prime < 2^32
 
 
 def minhash_bands(
@@ -116,8 +99,17 @@ def minhash_bands(
         F.explode(F.array_distinct(shingle_tokens(F.col(text_col), shingle_n))).alias("s"),
     )
     if hash_fn == "md5":
+        # one md5 per shingle, materialized as (h1, h2) BEFORE the 16
+        # min-aggregates — inlining it per seed would re-evaluate the
+        # digest 16× per row (the round-1 codegen-blowup lesson)
+        m = F.md5(F.col("s"))
+        sh = sh.select(
+            "id",
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
         mins = [
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            F.min((F.col("h1") + i * F.col("h2")) % MINHASH_PRIME).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     else:
@@ -127,9 +119,10 @@ def minhash_bands(
         ]
     mh = sh.groupBy("id").agg(*mins)
     # docs with no shingles dropped by explode → rejoin with sentinels so
-    # empty docs only collide with each other (matches the DuckDB oracle)
+    # empty docs only collide with each other (matches the DuckDB oracle);
+    # md5-mode hashes are ≥ 0, so negative values can never collide with real ones
     sentinels = [
-        (F.lit(f"empty{i}") if hash_fn == "md5" else F.lit(-(2**62) - i)).alias(f"mh{i}")
+        (F.lit(-(i + 1)).cast("long") if hash_fn == "md5" else F.lit(-(2**62) - i)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     sig = (

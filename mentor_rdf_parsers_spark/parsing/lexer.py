@@ -172,9 +172,16 @@ class Lexer:
         self,
         text: str,
         bnode_generator: Optional[Callable[[int, Token], str]] = default_bnode_generator,
+        comment_sink: Optional[list] = None,
     ) -> tuple[list[Token], list[LexError]]:
         """Scan the whole document. Unmatchable characters are skipped one at
-        a time and reported (Chevrotain default error recovery)."""
+        a time and reported (Chevrotain default error recovery).
+
+        ``comment_sink``: when given, COMMENT tokens (normally dropped)
+        are appended to it in source order — the input to the comment-
+        lineage attachment of turtle.read_quad_contexts (mirrors the
+        reference keeping comments in the token stream for
+        readQuadContexts, src/turtle/reader.ts:94-98)."""
         tokens: list[Token] = []
         errors: list[LexError] = []
         append = tokens.append
@@ -200,6 +207,8 @@ class Lexer:
             name = m.lastgroup
             if name != "WS" and name != "COMMENT":
                 append(Token(name, m.group(), start))
+            elif name == "COMMENT" and comment_sink is not None:
+                comment_sink.append(Token(name, m.group(), start))
             pos = m.end()
         if pos < n:
             sm = skip_match(text, pos)

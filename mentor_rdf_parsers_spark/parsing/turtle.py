@@ -42,7 +42,7 @@ quads follow their annotated quad.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, NamedTuple, Optional, Tuple
 
 from .iri import resolve_iri
 from .lexer import Lexer, Token, default_bnode_generator
@@ -153,9 +153,14 @@ class _Parser:
             elif self.trig:
                 items.append(("block", self.block()))
             else:
+                start_tok = t
                 triples = self.triples()
+                last_tok = self.toks[self.i - 1]
                 self.expect("PERIOD")
-                items.append(("triples", triples))
+                # statement source span (for comment lineage): first
+                # token start → last pre-PERIOD token end
+                span = (start_tok.start, last_tok.start + len(last_tok.image) - 1)
+                items.append(("triples", triples, span))
         return items
 
     def prefix_directive(self, kw: str) -> tuple:
@@ -748,13 +753,25 @@ class _Evaluator:
 
     # -- statements ------------------------------------------------------------
 
-    def process_triples(self, ast: tuple, quads: list) -> None:
+    def process_triples(self, ast: tuple, quads: list,
+                        top: Optional[list] = None) -> None:
+        """``top``: when given, collects the indices (into ``quads``) of
+        the statement's TOP-LEVEL quads — the ones the reference's
+        triplesInfo returns (src/turtle/reader.ts:240-300); inner
+        collection/bnode/annotation quads are side-effects and excluded.
+        Comment lineage attaches to the first/last top-level quad."""
         kind = ast[0]
+
+        def mark() -> None:
+            if top is not None:
+                top.append(len(quads) - 1)
+
         if kind == "t_subject":
             _, subj_ast, pol = ast
             subj, s_off = self.eval_subject(subj_ast, quads)
             for pred, obj, ann, offs in self.eval_pol(pol, quads):
                 self.emit(quads, subj, pred, obj, (s_off, offs[0], offs[1]))
+                mark()
                 self.process_annotation(ann, subj, pred, obj, quads)
         elif kind == "t_bnpl":
             _, bnpl_ast, pol = ast
@@ -763,6 +780,7 @@ class _Evaluator:
             if pol is not None:
                 for pred, obj, ann, offs in self.eval_pol(pol, quads):
                     self.emit(quads, subj, pred, obj, (s_off, offs[0], offs[1]))
+                    mark()
                     self.process_annotation(ann, subj, pred, obj, quads)
         elif kind == "t_reified":
             _, rt_ast, pol = ast
@@ -771,6 +789,7 @@ class _Evaluator:
             if pol is not None:
                 for pred, obj, ann, offs in self.eval_pol(pol, quads):
                     self.emit(quads, reifier, pred, obj, (s_off, offs[0], offs[1]))
+                    mark()
                     self.process_annotation(ann, reifier, pred, obj, quads)
         else:
             raise ParseError(-1, f"invalid triples ast: {kind}")
@@ -825,9 +844,13 @@ def parse_turtle(
                 elif trig:
                     items.append(("block", parser.block()))
                 else:
+                    start_tok = t
                     tr = parser.triples()
+                    last_tok = parser.toks[parser.i - 1]
                     parser.expect("PERIOD")
-                    items.append(("triples", tr))
+                    items.append(("triples", tr,
+                                  (start_tok.start,
+                                   last_tok.start + len(last_tok.image) - 1)))
             except ParseError as e2:
                 errors.append((e2.stage, e2.offset, e2.message))
                 if parser.i == mark:
@@ -917,3 +940,133 @@ def _label_offset(ast: tuple) -> int:
     if ast[0] in ("label_bnode", "anon"):
         return ast[1].start
     return ast[2]
+
+
+# --------------------------------------------------------------------------
+# Quad contexts with comment lineage (src/turtle/reader.ts:124-231,
+# src/quad-context.ts:10-43): per-statement leading/trailing comment
+# attachment. Only the Turtle reader supports comments in the reference
+# (the NT/TriG/N3 readQuadContexts variants take no token stream).
+
+
+class QuadContextRec(NamedTuple):
+    quad: QuadRec
+    leading_comments: Tuple[str, ...]
+    trailing_comment: Optional[str]
+
+
+def read_quad_contexts(
+    text: str,
+    bnode_generator: Callable[[int, Token], str] = default_bnode_generator,
+    strict: bool = True,
+) -> Tuple[List[QuadContextRec], List[ErrorRec]]:
+    """Parse a Turtle document into quads with comment lineage.
+
+    Mirrors the reference's ``readQuadContexts(cst, tokens)``
+    (src/turtle/reader.ts:124-231):
+
+    * leading comments: every comment between the previous statement's
+      end and this statement's first token, attached to the statement's
+      FIRST top-level quad;
+    * trailing comment: the next comment after the statement end on the
+      SAME line, attached to the LAST top-level quad;
+    * document-footer comments: attached to the last emitted quad —
+      as its trailing comment if on the statement's end line and none is
+      set yet, else appended to its leading comments;
+    * inner collection/bnode-property-list/annotation quads carry no
+      comments (the reference appends them as synthetic contexts; here
+      they keep their real source offsets, which is strictly more
+      lineage).
+
+    Divergence note: the reference measures a statement's end as the
+    max END offset of its top-level OBJECT tokens; this implementation
+    uses the statement's last token before the closing PERIOD. The two
+    agree except for multi-line annotation/reifier tails, where this
+    version still attaches a same-line trailing comment.
+    """
+    errors: List[ErrorRec] = []
+    comments: List[Token] = []
+    tokens, lex_errors = _TURTLE_LEXER.tokenize(text, bnode_generator, comments)
+    for le in lex_errors:
+        errors.append(("lex", le.offset, le.message))
+    if strict and errors:
+        return [], errors
+
+    parser = _Parser(tokens, trig=False, strict=strict)
+    try:
+        items = parser.parse_doc()
+    except ParseError as e:
+        errors.append((e.stage, e.offset, e.message))
+        return [], errors
+    errors.extend(parser.semantic_errors)
+    if strict and errors:
+        return [], errors
+
+    newlines = [i for i, c in enumerate(text) if c == "\n"]
+
+    def line_of(off: int) -> int:
+        import bisect
+
+        return bisect.bisect_left(newlines, off) + 1
+
+    ev = _Evaluator({}, None, raw_label_images=False)
+    for item in items:
+        if item[0] in ("prefix", "base", "version"):
+            _directive_value(ev, item)
+
+    contexts: List[QuadContextRec] = []
+    ci = 0
+    prev_end = -1
+    last_end_line = -1
+    for item in items:
+        if item[0] != "triples":
+            continue
+        stmt_quads: List[QuadRec] = []
+        top: List[int] = []
+        ev.process_triples(item[1], stmt_quads, top)
+        if not stmt_quads:
+            continue
+        start_off, end_off = item[2]
+        end_line = line_of(end_off)
+
+        leading: List[str] = []
+        while ci < len(comments):
+            c = comments[ci]
+            if c.start < start_off and c.start > prev_end:
+                leading.append(c.image)
+                ci += 1
+            else:
+                break
+        trailing: Optional[str] = None
+        if (
+            ci < len(comments)
+            and comments[ci].start > end_off
+            and line_of(comments[ci].start) == end_line
+        ):
+            trailing = comments[ci].image
+            ci += 1
+
+        first_top = top[0] if top else 0
+        last_top = top[-1] if top else len(stmt_quads) - 1
+        for k, q in enumerate(stmt_quads):
+            contexts.append(QuadContextRec(
+                q,
+                tuple(leading) if k == first_top else (),
+                trailing if k == last_top else None,
+            ))
+        prev_end = end_off
+        last_end_line = end_line
+
+    # document footer (reference lines 186-198)
+    if ci < len(comments) and contexts:
+        last = contexts[-1]
+        lead = list(last.leading_comments)
+        trail = last.trailing_comment
+        while ci < len(comments):
+            if trail is None and line_of(comments[ci].start) == last_end_line:
+                trail = comments[ci].image
+            else:
+                lead.append(comments[ci].image)
+            ci += 1
+        contexts[-1] = QuadContextRec(last.quad, tuple(lead), trail)
+    return contexts, errors

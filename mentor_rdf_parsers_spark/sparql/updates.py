@@ -11,7 +11,7 @@ caller's write."""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -20,6 +20,46 @@ from .executor import Executor, SparqlExecutionError
 from .parser import parse_sparql
 
 _KEY = ["s_kind", "s", "p", "o_kind", "o", "o_lang", "o_dt", "g"]
+
+
+def _default_fetcher(iri: str) -> str:
+    """LOAD fetcher for ``file://`` IRIs and plain paths only — this
+    environment has no network; callers inject an HTTP fetcher where one
+    exists."""
+    from urllib.parse import unquote, urlparse
+
+    if iri.startswith("file://"):
+        path = unquote(urlparse(iri).path)
+    elif "://" in iri:
+        raise SparqlExecutionError(
+            f"LOAD: default fetcher only resolves file:// IRIs, got {iri}"
+        )
+    else:
+        path = iri
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+def _parse_loaded(iri: str, body: str) -> list:
+    """Parse a fetched document by its extension into quad records."""
+    from ..parsing.n3 import parse_n3
+    from ..parsing.ntriples import parse_ntriples
+    from ..parsing.turtle import parse_turtle
+
+    low = iri.lower()
+    if low.endswith(".nt"):
+        quads, errors = parse_ntriples(body)
+    elif low.endswith(".nq"):
+        quads, errors = parse_ntriples(body, nquads=True)
+    elif low.endswith(".trig"):
+        quads, errors = parse_turtle(body, trig=True)
+    elif low.endswith(".n3"):
+        quads, errors = parse_n3(body)
+    else:  # default content type for LOAD: Turtle
+        quads, errors = parse_turtle(body)
+    if errors:
+        raise SparqlExecutionError(f"LOAD: document failed to parse: {errors[0]}")
+    return quads
 
 
 def _quad_rows(quads, doc_id: str = "update") -> list[tuple]:
@@ -88,9 +128,15 @@ def _remove(triples: DataFrame, victims: DataFrame) -> DataFrame:
     )
 
 
-def execute_update(update_text: str, triples: DataFrame) -> DataFrame:
+def execute_update(
+    update_text: str, triples: DataFrame,
+    fetcher: Optional[Callable[[str], str]] = None,
+) -> DataFrame:
     """Parse and apply a SPARQL Update (possibly a ';'-sequence) to the
-    triples DataFrame; returns the new graph."""
+    triples DataFrame; returns the new graph.
+
+    ``fetcher(iri) -> document text`` services LOAD; the default resolves
+    ``file://`` IRIs / local paths only (no network here)."""
     parsed = parse_sparql(update_text)
     if parsed.get("type") != "update":
         raise SparqlExecutionError("not an update")
@@ -197,7 +243,29 @@ def execute_update(update_text: str, triples: DataFrame) -> DataFrame:
                 else:
                     current = current.where(~F.col("g").eqNullSafe(F.lit(src[1])))
         elif kind == "load":
-            raise SparqlExecutionError("LOAD requires an external fetcher")
+            iri = op["iri"][1]
+            try:
+                body = (fetcher or _default_fetcher)(iri)
+                quads = _parse_loaded(iri, body)
+            except SparqlExecutionError:
+                if op["silent"]:
+                    continue
+                raise
+            except Exception as e:
+                if op["silent"]:
+                    continue
+                raise SparqlExecutionError(f"LOAD {iri} failed: {e}")
+            from ..parsing.terms import quad_to_row
+
+            into = op["into"]  # None or ('iri', g): override destination graph
+            rows = []
+            for (s, p, o, g, s_off, p_off, o_off) in quads:
+                if into is not None:
+                    g = ("iri", into[1])
+                rows.append(quad_to_row(iri, s, p, o, g, s_off, p_off, o_off))
+            if rows:
+                add = spark.createDataFrame(rows, current.schema)
+                current = current.unionByName(add).dropDuplicates(_KEY)
         else:
             raise SparqlExecutionError(f"unsupported update {kind}")
     return current

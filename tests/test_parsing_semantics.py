@@ -248,3 +248,113 @@ def test_relative_iri_no_base_kept():
 def test_iri_with_colon_is_absolute():
     q, _ = parse_turtle("@base <http://b/> .\n<a:b> <p> <o> .")
     assert spo(q)[0][0] == ("iri", "a:b")
+
+
+# ---------------------------------------------------------------------------
+# Comment lineage (read_quad_contexts) — mirrors the reference's
+# TurtleReader.readQuadContexts cases (src/turtle/reader.test.ts:835-1060)
+
+
+class TestQuadContextComments:
+    PREFIX = "@prefix ex: <http://example.org/> .\n"
+
+    def _ctx(self, body):
+        from mentor_rdf_parsers_spark.parsing.turtle import read_quad_contexts
+
+        contexts, errors = read_quad_contexts(self.PREFIX + body)
+        assert not errors
+        return contexts
+
+    def test_no_comments(self):
+        infos = self._ctx("ex:Alice ex:knows ex:Bob .")
+        assert len(infos) == 1
+        assert infos[0].quad[0] == ("iri", "http://example.org/Alice")
+        assert infos[0].leading_comments == ()
+        assert infos[0].trailing_comment is None
+
+    def test_leading_comment(self):
+        infos = self._ctx("# This is Alice\nex:Alice ex:knows ex:Bob .")
+        assert len(infos) == 1
+        assert infos[0].leading_comments == ("# This is Alice",)
+        assert infos[0].trailing_comment is None
+
+    def test_trailing_comment_same_line(self):
+        infos = self._ctx("ex:Alice ex:knows ex:Bob . # end of line")
+        assert len(infos) == 1
+        assert infos[0].leading_comments == ()
+        assert infos[0].trailing_comment == "# end of line"
+
+    def test_leading_and_trailing(self):
+        infos = self._ctx(
+            "# Leading comment\nex:Alice ex:knows ex:Bob . # Trailing comment"
+        )
+        assert len(infos) == 1
+        assert infos[0].leading_comments == ("# Leading comment",)
+        assert infos[0].trailing_comment == "# Trailing comment"
+
+    def test_distributes_between_statements(self):
+        infos = self._ctx(
+            "# Comment for Alice\nex:Alice ex:knows ex:Bob .\n"
+            "# Comment for Carol\nex:Carol ex:knows ex:Dave . # End of Carol"
+        )
+        assert len(infos) == 2
+        assert infos[0].quad[0] == ("iri", "http://example.org/Alice")
+        assert infos[0].leading_comments == ("# Comment for Alice",)
+        assert infos[0].trailing_comment is None
+        assert infos[1].quad[0] == ("iri", "http://example.org/Carol")
+        assert infos[1].leading_comments == ("# Comment for Carol",)
+        assert infos[1].trailing_comment == "# End of Carol"
+
+    def test_shared_subject_first_and_last_quad(self):
+        infos = self._ctx(
+            "# About Alice\nex:Alice ex:knows ex:Bob ;\n"
+            "         ex:likes ex:Carol . # End of Alice"
+        )
+        assert len(infos) == 2
+        assert infos[0].quad[1] == ("iri", "http://example.org/knows")
+        assert infos[0].leading_comments == ("# About Alice",)
+        assert infos[0].trailing_comment is None
+        assert infos[1].quad[1] == ("iri", "http://example.org/likes")
+        assert infos[1].leading_comments == ()
+        assert infos[1].trailing_comment == "# End of Alice"
+
+    def test_multiple_leading_comments(self):
+        infos = self._ctx(
+            "# First comment\n# Second comment\n# Third comment\n"
+            "ex:Alice ex:knows ex:Bob ."
+        )
+        assert len(infos) == 1
+        assert infos[0].leading_comments == (
+            "# First comment", "# Second comment", "# Third comment")
+
+    def test_footer_comments_attach_to_last_statement(self):
+        infos = self._ctx(
+            "ex:Alice ex:knows ex:Bob .\n# Footer comment 1\n# Footer comment 2"
+        )
+        assert len(infos) == 1
+        assert infos[0].leading_comments == (
+            "# Footer comment 1", "# Footer comment 2")
+
+    def test_only_directives(self):
+        infos = self._ctx("# Just a comment")
+        assert infos == []
+
+    def test_quads_match_parse_turtle(self):
+        from mentor_rdf_parsers_spark.parsing.turtle import (
+            parse_turtle,
+            read_quad_contexts,
+        )
+
+        doc = self.PREFIX + (
+            "# lead\nex:a ex:p (ex:x ex:y) . # trail\n"
+            "ex:b ex:q [ ex:r ex:s ] ."
+        )
+        plain, _ = parse_turtle(doc)
+        contexts, _ = read_quad_contexts(doc)
+        assert [c.quad for c in contexts] == plain
+        # inner collection/bnpl quads never carry comments
+        with_comments = [
+            c for c in contexts if c.leading_comments or c.trailing_comment
+        ]
+        for c in with_comments:
+            assert c.quad[0][0] == "iri"

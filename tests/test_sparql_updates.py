@@ -125,3 +125,33 @@ def test_delete_where_variable_graph(graph):
     got = facts(out)
     assert all(p != "http://ex/old" for (_s, p, _o, _g) in got)
     assert len(got) == 2  # both default-graph rows survive
+
+
+def test_load_turtle_file(graph, tmp_path):
+    doc = tmp_path / "extra.ttl"
+    doc.write_text('@prefix : <http://ex/> .\n:loaded :via "load" .\n')
+    out = execute_update(f"LOAD <file://{doc}>", graph)
+    assert ("http://ex/loaded", "http://ex/via", "load", None) in facts(out)
+
+
+def test_load_into_named_graph(graph, tmp_path):
+    doc = tmp_path / "extra.nt"
+    doc.write_text('<http://ex/n> <http://ex/p> "1" .\n')
+    out = execute_update(
+        f"PREFIX : <http://ex/>\nLOAD <file://{doc}> INTO GRAPH :gload", graph
+    )
+    assert ("http://ex/n", "http://ex/p", "1", "http://ex/gload") in facts(out)
+
+
+def test_load_silent_swallows_missing_file(graph):
+    out = execute_update("LOAD SILENT <file:///nonexistent/nope.ttl>", graph)
+    assert out.count() == graph.count()
+
+
+def test_load_missing_file_raises(graph):
+    import pytest as _pytest
+
+    from mentor_rdf_parsers_spark.sparql.executor import SparqlExecutionError
+
+    with _pytest.raises(SparqlExecutionError):
+        execute_update("LOAD <file:///nonexistent/nope.ttl>", graph)
