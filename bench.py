@@ -63,9 +63,15 @@ def main() -> None:
 
     # --- headline: extraction throughput over the W3C fixture corpus ---
     # base corpus built once on the driver; scale-up happens Spark-side
+    # partition multiplier: tasks-per-core for the timed extract. 4 keeps
+    # the straggler tail short (last wave is 1/4 of a partition's work,
+    # not 1/2) without per-task overhead dominating — the knob the
+    # scaling runs sweep to keep high-core runs tail-bound, not
+    # wave-bound.
+    parts_per_core = int(os.environ.get("SPARK_GRAFT_PARTS", "4"))
     docs = (
         replicate_documents(load_fixture_documents(spark), replicate)
-        .repartition(cpus * 2, "doc_id")
+        .repartition(cpus * parts_per_core, "doc_id")
         .persist()
     )
     n_docs = docs.count()  # materialize input outside the timed window
@@ -115,6 +121,27 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable no matter what
             timings[name] = -1.0
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
+
+    # --- production-hash minhash (xxhash64, JVM-side) ---------------------
+    # `dedup_minhash_pairs` above times the md5 path solely because the
+    # DuckDB oracle must reproduce the signatures bit-for-bit; production
+    # runs use Spark's built-in xxhash64 (no md5, no substring bit
+    # surgery). Report that path too so the headline dedup number is the
+    # one a real deployment would see.
+    if bench_queries:
+        from mentor_rdf_parsers_spark.operators.dedup import dedup_minhash_lsh
+
+        t0 = time.time()
+        try:
+            docs_t = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            dedup_minhash_lsh(
+                docs_t, "doc_id", "text", num_hashes=16, bands=4,
+                shingle_n=3, hash_fn="xxhash64",
+            ).agg(F.count("*")).collect()
+            timings["dedup_minhash_prod"] = round(time.time() - t0, 3)
+        except Exception as exc:
+            timings["dedup_minhash_prod"] = -1.0
+            print(f"bench query dedup_minhash_prod failed: {exc}", file=sys.stderr)
 
     # --- headline correctness: corpus P/R vs the reference golden files ---
     try:

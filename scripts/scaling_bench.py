@@ -101,13 +101,33 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=1000)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--samples", type=int, default=1,
+                    help="interleaved (N, 4N) sample pairs; median "
+                         "throughput per level is the reported number "
+                         "(damps single-run machine noise)")
     args = ap.parse_args()
 
     ceiling = calibrate_ceiling(args.n, args.xn)
-    lo = run_spark(args.n, args.replicate)
-    hi = run_spark(args.xn, args.replicate)
+    # Interleaved pairs: each (N, 4N) measurement is temporally adjacent,
+    # so host-capacity drift (hypervisor neighbor noise on this sandbox
+    # swings absolute throughput ±40% minute-to-minute) hits both levels
+    # of a pair similarly and partially cancels in the per-pair ratio.
+    # The reported efficiency is the MEDIAN OF PER-PAIR EFFICIENCIES —
+    # the robust estimator for a ratio of two noisy, time-correlated
+    # measurements (median-of-levels couples each level to a different
+    # noise sample and biases the ratio arbitrarily).
+    pairs = []
+    for i in range(max(args.samples, 1)):
+        lo_i = run_spark(args.n, args.replicate)
+        hi_i = run_spark(args.xn, args.replicate)
+        eff_i = (hi_i["value"] / lo_i["value"]) / (args.xn / args.n)
+        pairs.append((eff_i, lo_i, hi_i))
+        print(json.dumps({"sample": i, "tput_n": lo_i["value"],
+                          "tput_xn": hi_i["value"],
+                          "pair_efficiency": round(eff_i, 3)}))
+    pairs.sort(key=lambda p: p[0])
+    eff, lo, hi = pairs[len(pairs) // 2]
     ratio = hi["value"] / lo["value"]
-    eff = ratio / (args.xn / args.n)
     norm = eff / ceiling["efficiency"] if ceiling["efficiency"] else 0.0
     result = {
         "n_cpus": args.n,
@@ -118,6 +138,7 @@ def main() -> None:
         "tput_xn": hi["value"],
         "speedup": round(ratio, 3),
         "spark_efficiency": round(eff, 3),
+        "pair_efficiencies": [round(p[0], 3) for p in pairs],
         "hardware_ceiling_efficiency": ceiling["efficiency"],
         "normalized_efficiency": round(min(norm, 1.0), 3),
         "ceiling_tput_n": ceiling["tput_n"],
@@ -133,7 +154,9 @@ def main() -> None:
             f"\n## Scaling run {stamp}\n\n"
             f"Input: {result['docs']} docs / {result['triples']} triples "
             f"(W3C corpus replicated Spark-side), steady-state (warm "
-            f"workers, best of 2).\n\n"
+            f"workers, best of 2); median per-pair efficiency over "
+            f"{max(args.samples, 1)} interleaved (N, 4N) pair(s): "
+            f"{result['pair_efficiencies']}.\n\n"
             f"| measure | local[{args.n}] | local[{args.xn}] | speedup | efficiency |\n"
             f"|---|---|---|---|---|\n"
             f"| Spark extract | {result['tput_n']:.0f}/s | {result['tput_xn']:.0f}/s "
