@@ -58,10 +58,14 @@ def main() -> None:
             F.concat(F.lit(SOURCE_NS), F.col("source")).alias("entity"),
         )
     )
+    import time
+
+    t0 = time.time()
     stats = run_pipeline(
         spark, docs, args.out, dictionary=dictionary,
         n_buckets=args.buckets, checkpoint_dir=args.checkpoint_dir,
     )
+    stats["wall_sec"] = round(time.time() - t0, 2)
     stats["span_invariant_violations"] = bad_spans
     print(json.dumps(stats))
     spark.stop()
