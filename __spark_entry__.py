@@ -305,6 +305,49 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup_simhash(docs)
 
 
+def q_quality_decontam(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing an 8-gram with the
+    pseudo eval set (every 97th document)."""
+    from mentor_rdf_parsers_spark.operators.quality import decontaminate_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate_ngram(docs, bench, n=8)
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition profile; the corpus has no newlines, so
+    line breaks are synthesized deterministically (articles → \\n) the
+    same way in both engines."""
+    from mentor_rdf_parsers_spark.operators.quality import repetition_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("text", F.regexp_replace("text", " (the|a) ", "\n"))
+    return repetition_profile(docs)
+
+
+def q_quality_pii(spark, sf_dir):
+    """PII scrub over text salted with deterministic synthetic
+    contact/IP/phone spans (the corpus itself is clean, so the injected
+    spans make the redaction value-checkable)."""
+    from mentor_rdf_parsers_spark.operators.quality import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return scrub_pii(salted)
+
+
 def q_corpus_sample(spark, sf_dir):
     from mentor_rdf_parsers_spark.operators.corpus import sample_corpus
 
@@ -606,6 +649,9 @@ _QUERIES = {
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "quality_decontam": q_quality_decontam,
+        "quality_repetition": q_quality_repetition,
+        "quality_pii": q_quality_pii,
         "corpus_sample": q_corpus_sample,
         "corpus_pack": q_corpus_pack,
         "text_profile": q_text_profile,
@@ -853,6 +899,57 @@ WHERE i / (na.n + nb.n - i) >= 0.5
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
 SELECT doc_id AS id, simhash, COUNT(*) OVER (PARTITION BY simhash)::BIGINT AS bucket_size
 FROM (SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM toks)
+""",
+        "quality_decontam": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({_shingle_expr(8)}) AS s FROM toks),
+bench AS (SELECT DISTINCT s FROM (
+  SELECT unnest({_shingle_expr(8)}) AS s FROM toks WHERE doc_id % 97 = 0) b)
+SELECT doc_id AS id, COUNT(*)::BIGINT AS n_hits
+FROM sh JOIN bench USING (s) GROUP BY 1
+""",
+        "quality_repetition": """
+WITH nl AS (SELECT doc_id,
+            regexp_replace(text, ' (the|a) ', chr(10), 'g') AS t FROM documents),
+lines AS (SELECT doc_id,
+          unnest(list_filter(string_split(t, chr(10)), l -> l <> '')) AS line FROM nl),
+per AS (SELECT doc_id, line, COUNT(*)::BIGINT AS c FROM lines GROUP BY 1, 2),
+agg AS (SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_uniq,
+        SUM((c - 1) * length(line)) AS dup_chars,
+        SUM(c * length(line)) AS tot_chars,
+        MAX(c) AS max_line_repeat FROM per GROUP BY 1)
+SELECT doc_id AS id, CAST(n_lines AS BIGINT) AS n_lines,
+  round(n_uniq / n_lines, 6) AS uniq_line_ratio,
+  CASE WHEN tot_chars > 0 THEN round(dup_chars / tot_chars, 6)
+       ELSE 0.0 END AS dup_line_char_ratio,
+  CAST(max_line_repeat AS BIGINT) AS max_line_repeat
+FROM agg
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), 1.0, 0.0, CAST(0 AS BIGINT)
+FROM nl WHERE len(list_filter(string_split(t, chr(10)), l -> l <> '')) = 0
+""",
+        "quality_pii": """
+WITH salted AS (SELECT doc_id,
+  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'
+       || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-'
+       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents),
+s1 AS (SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM salted),
+s2 AS (SELECT doc_id, n_emails,
+  len(regexp_extract_all(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+  regexp_replace(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+  len(regexp_extract_all(t2, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phones,
+  regexp_replace(t2, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS t3
+  FROM s2)
+SELECT doc_id AS id, t3 AS clean_text,
+  CAST(n_emails AS BIGINT) AS n_emails, CAST(n_ips AS BIGINT) AS n_ips,
+  CAST(n_phones AS BIGINT) AS n_phones
+FROM s3
 """,
         "corpus_sample": """
 WITH k AS (SELECT doc_id, md5('sample:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)

@@ -98,6 +98,7 @@ def main() -> None:
         "kg_canonical_triples",
         "dedup_minhash_pairs",
         "dedup_ngram_jaccard",
+        "quality_decontam",
         "text_profile",
         "ann_cosine_topk",
         "rel_agg_pricing",
