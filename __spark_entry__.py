@@ -379,6 +379,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=EMB_DIM, k=3, n_bits=8)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via the LSH bucket equi-join
+    (random 64-dim vectors rarely exceed high cosine, so the threshold
+    is low to keep the value set non-trivial at test scale)."""
+    from mentor_rdf_parsers_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=EMB_DIM, min_sim=0.1, n_bits=8)
+
+
 def q_media_decode(spark, sf_dir):
     docs = documents_as_rdf_docs(spark, sf_dir)
     media = media_from_documents(docs)
@@ -657,6 +669,7 @@ _QUERIES = {
         "text_profile": q_text_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding": q_dedup_embedding,
         "media_decode": q_media_decode,
         "rel_agg_pricing": q_rel_agg_pricing,
         "rel_join_topk": q_rel_join_topk,
@@ -685,6 +698,23 @@ _QUERIES = {
 _DOC = f"'{DOC_NS}' || CAST(doc_id AS VARCHAR)"
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"CASE WHEN {_NORM} = '' THEN [] ELSE string_split({_NORM}, ' ') END"
+
+
+def _sketch_sql(n_bits: int = 8) -> str:
+    """DuckDB expression reproducing similarity.lsh_sketch bit-for-bit:
+    bit b contributes 2^b when the md5-derived ±1 hyperplane dot is
+    positive (expects a relation exposing the vector as `e`)."""
+    from mentor_rdf_parsers_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for b in range(n_bits):
+        plane = _hyperplane(b, EMB_DIM)
+        dot = " + ".join(
+            ("" if x > 0 else "-") + f"CAST(e[{j + 1}] AS DOUBLE)"
+            for j, x in enumerate(plane)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** b} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def _shingle_expr(n: int = 3) -> str:
@@ -987,6 +1017,21 @@ p AS (
 s AS (SELECT qid AS query_id, nid AS neighbor_id, round(dot / (nq * nc), 6) AS sim FROM p),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
 SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+""",
+        "dedup_embedding": f"""
+WITH sk AS (
+  SELECT vec_id, embedding, CAST({_sketch_sql(8)} AS BIGINT) AS bucket
+  FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings)
+),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+    list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))) AS nb
+  FROM sk x JOIN sk y USING (bucket) WHERE x.vec_id < y.vec_id
+)
+SELECT a, b, round(dot / (na * nb), 6) AS sim
+FROM p WHERE round(dot / (na * nb), 6) >= 0.1
 """,
         "ann_lsh_topk": """
 WITH sk AS (
