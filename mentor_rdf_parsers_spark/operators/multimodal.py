@@ -135,6 +135,98 @@ def sample_frames(
     return media.where(F.col("kind") == "video").mapInPandas(fn, schema=FRAME)
 
 
+RESIZED = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("src_width", IntegerType(), True),
+        StructField("src_height", IntegerType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+AUDIO_META = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("duration_ms", IntegerType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("sha", StringType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224,
+    strict_codecs: bool = False,
+) -> DataFrame:
+    """media(kind='image') → aspect-fit resized rows via mapInPandas.
+
+    The aspect-fit arithmetic (scale = min(tw/w, th/h), never upscale)
+    is real; the pixel resample is the STUB part — the output payload is
+    a deterministic digest-derived stand-in sized ∝ out_w·out_h, so
+    downstream batch-shape/size accounting behaves like a real thumbnail
+    stage. Replace the payload line with `PIL.Image.resize` when codecs
+    exist."""
+    if strict_codecs:
+        raise NotImplementedError(
+            "image resize requires PIL — not present in this container"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "src_width", "src_height", "width", "height", "payload")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                w, h = _fake_decode(b)
+                scale = min(target_w / w, target_h / h, 1.0)
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                seed = hashlib.sha256(b"resize:%d:%d:" % (ow, oh) + b).digest()
+                n_out = max(1, (ow * oh) // 64)
+                fake = (seed * (n_out // len(seed) + 1))[:n_out]
+                out["media_id"].append(mid)
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+                out["width"].append(ow)
+                out["height"].append(oh)
+                out["payload"].append(fake)
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "image").mapInPandas(fn, schema=RESIZED)
+
+
+def extract_audio_features(
+    media: DataFrame, feature_dim: int = 8, bytes_per_ms: int = 16,
+    strict_codecs: bool = False,
+) -> DataFrame:
+    """media(kind='audio') → AUDIO_META via mapInPandas.
+
+    Duration is derived from the byte length at a nominal constant
+    bitrate (real impl reads the container header); the MFCC-ish feature
+    vector is the STUB (sha256-derived floats, like the image fake)."""
+    if strict_codecs:
+        raise NotImplementedError(
+            "audio decode requires ffmpeg/torchaudio — stubbed here"
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "duration_ms", "n_bytes", "sha", "features")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                out["duration_ms"].append(len(b) // max(bytes_per_ms, 1))
+                out["n_bytes"].append(len(b))
+                out["sha"].append(hashlib.sha256(b).hexdigest())
+                out["features"].append(_fake_features(b, feature_dim))
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(fn, schema=AUDIO_META)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Pull media spans out of the interleaved `documents` table into the
     MEDIA shape (payload stays null until a fetch stage fills it — the

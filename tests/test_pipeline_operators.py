@@ -292,6 +292,50 @@ def test_multimodal_plumbing(spark):
         decode_images(media, strict_codecs=True)
 
 
+def test_multimodal_resize_aspect_fit(spark):
+    from mentor_rdf_parsers_spark.operators.multimodal import resize_images
+
+    rows = [("m1", "image", b"\x89PNGfakebytes" * 10, "image/png"),
+            ("a1", "audio", b"RIFFfake" * 5, "audio/wav")]
+    media = spark.createDataFrame(rows, MEDIA)
+    out = resize_images(media, target_w=64, target_h=64).collect()
+    assert [r["media_id"] for r in out] == ["m1"]  # audio rows excluded
+    r = out[0]
+    # aspect-fit: both dims within target, ratio preserved to rounding
+    assert r["width"] <= 64 and r["height"] <= 64
+    assert max(r["width"], r["height"]) == 64 or (
+        r["src_width"] <= 64 and r["src_height"] <= 64)  # never upscaled
+    src_ratio = r["src_width"] / r["src_height"]
+    out_ratio = r["width"] / r["height"]
+    assert abs(src_ratio - out_ratio) / src_ratio < 0.1
+    # deterministic payload stand-in sized from the output dims
+    again = resize_images(media, target_w=64, target_h=64).collect()[0]
+    assert bytes(again["payload"]) == bytes(r["payload"])
+    assert len(bytes(r["payload"])) == max(1, (r["width"] * r["height"]) // 64)
+    with pytest.raises(NotImplementedError):
+        resize_images(media, strict_codecs=True)
+
+
+def test_multimodal_audio_features(spark):
+    from mentor_rdf_parsers_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rows = [("a1", "audio", b"RIFFfakeaudio" * 16, "audio/wav"),
+            ("m1", "image", b"\x89PNG", "image/png")]
+    media = spark.createDataFrame(rows, MEDIA)
+    out = extract_audio_features(media, bytes_per_ms=16).collect()
+    assert [r["media_id"] for r in out] == ["a1"]
+    r = out[0]
+    assert r["n_bytes"] == 13 * 16
+    assert r["duration_ms"] == (13 * 16) // 16
+    assert len(r["features"]) == 8
+    again = extract_audio_features(media, bytes_per_ms=16).collect()[0]
+    assert again["features"] == r["features"] and again["sha"] == r["sha"]
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(media, strict_codecs=True)
+
+
 def test_media_from_documents_passthrough(spark):
     from mentor_rdf_parsers_spark.sources.fixtures import load_fixture_documents
 
