@@ -601,11 +601,24 @@ _SPARQL_GRAPH = f"""
 SELECT ?doc ?g WHERE {{ GRAPH ?g {{ ?doc <{PROP_NS}source> ?src }} }}
 """
 
+_SPARQL_DESCRIBE = f"""
+DESCRIBE ?doc WHERE {{ ?doc <{PROP_NS}lang> "de" }}
+"""
+
 
 def q_sparql_exec_select(spark, sf_dir):
     from mentor_rdf_parsers_spark.sparql.executor import execute
 
     return execute(_SPARQL_SELECT, _triples(spark, sf_dir))
+
+
+def q_sparql_describe(spark, sf_dir):
+    """DESCRIBE via the semi-join path (described-IRI set never
+    collected to the driver — the round-1 scale fix, value-checked)."""
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    out = execute(_SPARQL_DESCRIBE, _triples(spark, sf_dir))
+    return out.select("s", "p", "o", "o_lang", "o_dt")
 
 
 def q_sparql_exec_agg(spark, sf_dir):
@@ -684,6 +697,7 @@ _QUERIES = {
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "sparql_exec_select": q_sparql_exec_select,
+        "sparql_describe": q_sparql_describe,
         "sparql_exec_agg": q_sparql_exec_agg,
         "sparql_exec_graph": q_sparql_exec_graph,
         "sparql_bgp_filter": q_sparql_bgp_filter,
@@ -1155,6 +1169,18 @@ FROM s GROUP BY 1, 2
         "sparql_exec_select": (
             f"SELECT {_DOC} AS doc, lang FROM documents WHERE doc_id % 4 <> 3"
         ),
+        "sparql_describe": f"""
+WITH d AS (SELECT * FROM documents WHERE lang = 'de' AND doc_id % 4 <> 3)
+SELECT {_DOC} AS s, '{PROP_NS}lang' AS p, lang AS o,
+       CAST(NULL AS VARCHAR) AS o_lang, CAST(NULL AS VARCHAR) AS o_dt FROM d
+UNION ALL
+SELECT {_DOC}, '{PROP_NS}source', source, NULL, NULL FROM d
+UNION ALL
+SELECT {_DOC}, '{PROP_NS}n_chars', CAST(n_chars AS VARCHAR), NULL,
+       '{XSD_INTEGER}' FROM d
+UNION ALL
+SELECT {_DOC}, '{PROP_NS}text', text, lang, NULL FROM d
+""",
         "sparql_exec_agg": (
             "SELECT lang, CAST(COUNT(*) AS VARCHAR) AS n FROM documents "
             "WHERE doc_id % 4 <> 3 GROUP BY lang"

@@ -26,7 +26,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .linking import minhash_candidate_pairs, normalize_key, shingle_tokens
+from .linking import (
+    minhash_candidate_pairs,
+    normalize_key,
+    shingles_from_tokens,
+    tokens_of,
+)
 
 
 def _exploded_shingles(
@@ -41,8 +46,10 @@ def _exploded_shingles(
     bounds the join's shuffle at Σ df² over surviving shingles instead
     of letting one hot shingle go quadratic over the corpus."""
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingle_tokens(F.col(text_col), shingle_n))).alias("s"),
+        F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_n))).alias("s"),
     )
     if max_doc_freq is not None:
         hot = (

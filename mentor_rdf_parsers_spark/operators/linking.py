@@ -57,16 +57,33 @@ def link_exact(
     ).drop("__key")
 
 
-def shingle_tokens(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of a text column (built-in functions only —
-    `transform` over `sequence`, no UDF). Empty/short docs → empty array."""
-    toks = F.split(normalize_key(col), " ")
+def tokens_of(col: Column) -> Column:
+    """Normalized word tokens of a text column — project this into its
+    own column BEFORE shingling wide n-grams: `shingle_tokens` inlines
+    the split n times (once per gram position), and Catalyst's lambda
+    bodies get no subexpression elimination, so an 8-gram otherwise
+    re-tokenizes every document 8×. A separate non-cheap multi-referenced
+    projection survives CollapseProject and is computed once per row."""
+    return F.split(normalize_key(col), " ")
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over an already-tokenized array column."""
     count = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
     return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_tokens(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (built-in functions only —
+    `transform` over `sequence`, no UDF). Empty/short docs → empty array.
+
+    NOTE: inlines tokenization once per gram position; for hot paths
+    project :func:`tokens_of` first and use :func:`shingles_from_tokens`."""
+    return shingles_from_tokens(tokens_of(col), n)
 
 
 # Kirsch-Mitzenmacher double hashing for the md5 (cross-engine) minhash
@@ -95,8 +112,10 @@ def minhash_bands(
     verification pass (see dedup.dedup_minhash_lsh)."""
     rows_per_band = num_hashes // bands
     sh = shingles if shingles is not None else df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingle_tokens(F.col(text_col), shingle_n))).alias("s"),
+        F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_n))).alias("s"),
     )
     if hash_fn == "md5":
         # one md5 per shingle, materialized as (h1, h2) BEFORE the 16
@@ -199,7 +218,9 @@ def link_fuzzy(
         F.when(F.col("a").startswith("m:"), F.col("a")).otherwise(F.col("b")).alias("mid"),
         F.when(F.col("a").startswith("d:"), F.col("a")).otherwise(F.col("b")).alias("did"),
     )
-    sh = both.select("id", F.array_distinct(shingle_tokens(F.col("txt"), shingle_n)).alias("sh"))
+    sh = both.select("id", tokens_of(F.col("txt")).alias("toks")).select(
+        "id", F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_n)).alias("sh")
+    )
     scored = (
         cross.join(sh.withColumnRenamed("id", "mid").withColumnRenamed("sh", "msh"), "mid")
         .join(sh.withColumnRenamed("id", "did").withColumnRenamed("sh", "dsh"), "did")

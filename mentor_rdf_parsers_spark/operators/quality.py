@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .linking import shingle_tokens
+from .linking import shingles_from_tokens, tokens_of
 
 
 def decontaminate_ngram(
@@ -50,12 +50,16 @@ def decontaminate_ngram(
     benchmark docs still contributes one join row per corpus occurrence.
     """
     corpus_sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingle_tokens(F.col(text_col), n))).alias("s"),
+        F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), n))).alias("s"),
     )
-    bench_sh = benchmark.select(
-        F.explode(F.array_distinct(shingle_tokens(F.col(text_col), n))).alias("s")
-    ).distinct()
+    bench_sh = (
+        benchmark.select(tokens_of(F.col(text_col)).alias("toks"))
+        .select(F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), n))).alias("s"))
+        .distinct()
+    )
     return (
         corpus_sh.join(bench_sh, "s")
         .groupBy("id")
