@@ -202,7 +202,30 @@ def dedup_simhash(
     (4 rotations of the 32-bit word) — collisions only, never a cross
     join. Here we emit the fingerprint + its bucket count.
     """
-    fp = df.select(F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("simhash"))
+    # Explode-and-aggregate form of simhash32: the per-token md5 is
+    # materialized ONCE as a column, then 32 bit-sums aggregate map-side
+    # — the single-expression form re-evaluates the digest once per bit
+    # inside the fold lambda (no CSE in lambda bodies; same lesson as
+    # shingles_from_tokens). Identical values, one digest per token.
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.split(normalize_key(F.col(text_col)), " ")).alias("tok"),
+    )
+    h = toks.select("id", F.md5(F.col("tok")).alias("h"), "tok")
+    bit_sums = []
+    for b in range(32):
+        nib = _hex_nibble(F.substring(F.col("h"), 1 + b // 4, 1))
+        bit = F.floor(nib / (2 ** (b % 4))) % 2
+        # empty docs explode_outer to a null token → contribute 0
+        contrib = F.when(F.col("tok").isNull(), F.lit(0)).otherwise(bit * 2 - 1)
+        bit_sums.append(F.sum(contrib.cast("long")).alias(f"s{b}"))
+    sums = h.groupBy("id").agg(*bit_sums)
+    fp_expr = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long"))
+         .otherwise(F.lit(0).cast("long")) for b in range(32)),
+        F.lit(0).cast("long"),
+    )
+    fp = sums.select("id", fp_expr.alias("simhash"))
     counts = fp.groupBy("simhash").agg(F.count("*").alias("bucket_size"))
     return fp.join(counts, "simhash").select("id", "simhash", "bucket_size")
 
