@@ -48,11 +48,14 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: p != "")).cast("long")
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
-    words = STOPWORDS[lang]
-    toks = tokens_col(text)
-    lit_arr = F.array(*[F.lit(w) for w in words])
+def stopword_hits_from(toks: Column, lang: str) -> Column:
+    """Stopword hit count over an already-tokenized array column."""
+    lit_arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t))).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    return stopword_hits_from(tokens_col(text), lang)
 
 
 def language_id(text: Column) -> Column:
@@ -98,13 +101,48 @@ def text_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """One-pass profile: (id, n_tokens, n_subtokens, lang_id, quality,
-    fingerprint). Single narrow projection — no shuffle at all."""
+    fingerprint). No shuffle at all.
+
+    Staged projections: the token array and the per-language stopword
+    hit counts are materialized as their own columns (multi-referenced
+    non-cheap aliases survive CollapseProject), so the text is
+    normalized+tokenized ONCE per row instead of once per consuming
+    metric — no subexpression elimination happens inside lambda bodies,
+    the same lesson as `linking.tokens_of`. Values are identical to the
+    single-expression helpers above."""
     t = F.col(text_col)
-    return df.select(
-        F.col(id_col).alias("id"),
-        token_count(t).alias("n_tokens"),
-        bpe_ish_token_count(t).alias("n_subtokens"),
-        language_id(t).alias("lang_id"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
+    langs = list(STOPWORDS)
+    staged = df.select(
+        F.col(id_col).alias("id"), t.alias("__text"), tokens_col(t).alias("__toks")
+    ).select(
+        "id", "__text", "__toks",
+        *[stopword_hits_from(F.col("__toks"), lang).alias(f"__h_{lang}")
+          for lang in langs],
+    )
+
+    toks = F.col("__toks")
+    raw = F.coalesce(F.col("__text"), F.lit(""))
+    ntok = F.size(toks).cast("long")
+
+    hit_cols = [F.col(f"__h_{lang}") for lang in langs]
+    best = F.greatest(*hit_cols)
+    lang_expr = F.lit("und")
+    for lang, hits in reversed(list(zip(langs, hit_cols))):
+        lang_expr = F.when((best > 0) & (hits == best), F.lit(lang)).otherwise(lang_expr)
+
+    ntok_d = ntok.cast("double")
+    sw = F.col("__h_en").cast("double")
+    nalpha = F.length(F.regexp_replace(F.lower(raw), r"[^a-z]", "")).cast("double")
+    nchar = F.length(raw).cast("double")
+    len_part = F.least(F.lit(1.0), ntok_d / F.lit(100.0)) * 0.4
+    sw_part = F.least(F.lit(0.3), F.when(ntok_d > 0, sw / ntok_d).otherwise(F.lit(0.0)) * 5 * 0.3)
+    alpha_part = F.when(nchar > 0, nalpha / nchar).otherwise(F.lit(0.0)) * 0.3
+
+    return staged.select(
+        "id",
+        ntok.alias("n_tokens"),
+        bpe_ish_token_count(F.col("__text")).alias("n_subtokens"),
+        lang_expr.alias("lang_id"),
+        F.round(len_part + sw_part + alpha_part, 4).alias("quality"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
     )
