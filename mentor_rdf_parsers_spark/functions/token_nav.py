@@ -13,14 +13,11 @@ from __future__ import annotations
 
 from typing import Iterable, List, Optional, Tuple
 
-from ..parsing.lexer import Token
+from ..parsing.lexer import BLANK_NODE_TOKEN_NAMES, Token
 
-#: Token types whose image may carry a blank-node identity
-#: (src/utils.ts:9-27).
-BLANK_NODE_TOKEN_NAMES = frozenset({
-    "BLANK_NODE_LABEL", "ANON", "LBRACKET", "OPEN_REIFIED_TRIPLE",
-    "OPEN_ANNOTATION", "TILDE", "RT_OPEN", "ANN_OPEN",
-})
+#: ``BLANK_NODE_TOKEN_NAMES`` is re-exported from ``parsing.lexer`` —
+#: the single source of truth for which token types carry lex-time
+#: pre-assigned blank-node IDs (src/utils.ts:9-17).
 
 
 def get_blank_node_id_from_token(token: Token) -> Optional[str]:

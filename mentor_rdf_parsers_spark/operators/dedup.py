@@ -207,7 +207,12 @@ def dedup_simhash(
     # — the single-expression form re-evaluates the digest once per bit
     # inside the fold lambda (no CSE in lambda bodies; same lesson as
     # shingles_from_tokens). Identical values, one digest per token.
-    toks = df.select(
+    # NULL text yields no fingerprint row (the pre-rewrite contract:
+    # a null fingerprint was dropped by the bucket join; without this
+    # filter explode_outer would hand such docs fingerprint 0 and bucket
+    # them with genuinely zero-fingerprint docs). Empty-string text still
+    # fingerprints: split('') = [''] survives explode_outer.
+    toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.explode_outer(F.split(normalize_key(F.col(text_col)), " ")).alias("tok"),
     )

@@ -128,8 +128,16 @@ def repetition_profile(
         F.col("max_line_repeat").cast("long").alias("max_line_repeat"),
     )
     # docs with zero non-empty lines still get a row
+    # NULL text: _lines(null) is null and size(null) is not 0, so
+    # coalesce to an empty array — null-text docs are zero-line docs and
+    # keep the promised sentinel row.
     empties = (
-        df.select(F.col(id_col).alias("id"), _lines(F.col(text_col)).alias("ls"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(
+                _lines(F.col(text_col)), F.array().cast("array<string>")
+            ).alias("ls"),
+        )
         .where(F.size("ls") == 0)
         .select(
             "id",

@@ -864,12 +864,14 @@ class Executor:
         offset = mods.get("offset")
         limit = mods.get("limit")
         if offset:
-            w = Window.orderBy(F.monotonically_increasing_id())
-            df = (
-                df.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") > offset)
-                .drop("__rn")
-            )
+            # Native Offset node (Spark >= 3.4). With ORDER BY + LIMIT the
+            # planner fuses sort/offset/limit into TakeOrderedAndProject
+            # (no global single-partition window — the previous
+            # Window.orderBy(monotonically_increasing_id()) collapsed the
+            # whole result set into one task to number rows). Without
+            # ORDER BY, SPARQL 1.2 §18.5 makes OFFSET an arbitrary slice,
+            # so whatever slice Offset picks is conformant.
+            df = df.offset(offset)
         if limit is not None:
             df = df.limit(limit)
         return df

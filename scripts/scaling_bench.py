@@ -26,6 +26,7 @@ import datetime
 import json
 import multiprocessing as mp
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -126,7 +127,12 @@ def main() -> None:
                           "tput_xn": hi_i["value"],
                           "pair_efficiency": round(eff_i, 3)}))
     pairs.sort(key=lambda p: p[0])
-    eff, lo, hi = pairs[len(pairs) // 2]
+    # True median (even sample counts average the two middle pairs —
+    # picking the upper-middle element would bias the reported number
+    # upward, which matters when the goal is clearing a >=0.8 bar).
+    eff = statistics.median(p[0] for p in pairs)
+    # Representative throughput pair: the one closest to the median.
+    _, lo, hi = min(pairs, key=lambda p: abs(p[0] - eff))
     ratio = hi["value"] / lo["value"]
     norm = eff / ceiling["efficiency"] if ceiling["efficiency"] else 0.0
     result = {

@@ -166,6 +166,15 @@ def test_dedup_simhash_identical_texts_same_fingerprint(spark, docs):
     assert out[1] != out[5]
 
 
+def test_dedup_simhash_null_text_dropped(spark):
+    # null text yields no fingerprint row (it must NOT bucket with
+    # genuinely zero-fingerprint docs); empty string still fingerprints
+    docs = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    rows = {r["id"]: r for r in dedup_simhash(docs).collect()}
+    assert 1 not in rows
+    assert 2 in rows
+
+
 def test_dedup_keep_first(spark, docs):
     pairs = dedup_minhash_lsh(docs, min_jaccard=0.99)
     kept = sorted(r["doc_id"] for r in dedup_keep_first(docs, pairs).collect())

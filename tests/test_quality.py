@@ -84,6 +84,15 @@ class TestRepetitionProfile:
             assert rows[d]["uniq_line_ratio"] == 1.0
             assert rows[d]["dup_line_char_ratio"] == 0.0
 
+    def test_null_text_gets_sentinel(self, spark):
+        # null text == zero-line doc: sentinel row, not silently dropped
+        docs = _docs(spark, [("d1", None), ("d2", "a")])
+        rows = {r["id"]: r for r in repetition_profile(docs).collect()}
+        assert rows["d1"]["n_lines"] == 0
+        assert rows["d1"]["uniq_line_ratio"] == 1.0
+        assert rows["d1"]["dup_line_char_ratio"] == 0.0
+        assert rows["d2"]["n_lines"] == 1
+
     def test_blank_lines_ignored(self, spark):
         docs = _docs(spark, [("d1", "a\n\n\na")])
         [r] = repetition_profile(docs).collect()
