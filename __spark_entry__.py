@@ -305,6 +305,34 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup_simhash(docs)
 
 
+# df-cap used by the *_capped twins: the production web-scale
+# configuration (hot boilerplate shingles dropped before any self-join).
+# 3 is meaningful at sf0.01 (drops ~600 of 16k shingles, empties no doc).
+_DF_CAP = 3
+
+
+def q_dedup_ngram_capped(spark, sf_dir):
+    """ngram_jaccard_pairs with the production ``max_doc_freq`` cap on —
+    the configuration a 100 TB run uses (bounds the shingle self-join at
+    Σdf² over surviving shingles), value-checked like the parity one."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.5, max_doc_freq=_DF_CAP)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_capped(spark, sf_dir):
+    """dedup_minhash_lsh (band candidates + exact-Jaccard verification,
+    shared persisted shingle frame) with the production df cap on."""
+    from mentor_rdf_parsers_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(
+        docs, num_hashes=16, bands=4, shingle_n=3,
+        min_jaccard=0.5, hash_fn="md5", max_doc_freq=_DF_CAP,
+    )
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_quality_decontam(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing an 8-gram with the
     pseudo eval set (every 97th document)."""
@@ -377,6 +405,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return lsh_topk(emb, queries, dim=EMB_DIM, k=3, n_bits=8)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with the deterministic md5 coarse quantizer — bucket
+    assignment, probe order and final ranks all reproduce in DuckDB
+    (the KMeans quantizer stays the recall path, pytest-verified)."""
+    from mentor_rdf_parsers_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk(
+        emb, queries, k=3, n_centroids=8, n_probe=2,
+        quantizer="md5", dim=EMB_DIM,
+    )
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -633,6 +675,61 @@ def q_sparql_exec_graph(spark, sf_dir):
     return execute(_SPARQL_GRAPH, _triples(spark, sf_dir))
 
 
+def q_kg_n3_entailment(spark, sf_dir):
+    """N3 `log:implies` forward chaining with a closed-form oracle.
+
+    Facts: the consecutive-doc `p:next` edges within each source group
+    (the same deterministic chains the CC/closure queries use), rendered
+    as ONE N3 document together with the transitive rule
+    ``{ ?x p:next ?y . ?y p:next ?z } => { ?x p:next ?z }``. The doc goes
+    through the real distributed N3 parse (formula graphs, quickvars,
+    log:implies — reference parses these, src/n3/reader.ts:859-897, but
+    never evaluates them), then `forward_chain` materializes the
+    fixpoint with distributed BGP joins. The entailed `p:next` set is
+    exactly the ordered pairs within each chain — a plain SQL self-join.
+    """
+    from mentor_rdf_parsers_spark.operators.reasoning import forward_chain
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    edges = (
+        docs.select("doc_id", "source")
+        .withColumn("prev", F.lag("doc_id").over(w))
+        .where(F.col("prev").isNotNull())
+    )
+    lines = edges.select(
+        F.concat(
+            F.lit("d:"), F.col("prev").cast("string"),
+            F.lit(" p:next d:"), F.col("doc_id").cast("string"), F.lit(" ."),
+        ).alias("line")
+    )
+    body = lines.agg(
+        F.concat_ws("\n", F.array_sort(F.collect_list("line"))).alias("facts")
+    )
+    header = f"@prefix p: <{PROP_NS}> .\n@prefix d: <{DOC_NS}> .\n"
+    rule = "\n{ ?x p:next ?y . ?y p:next ?z } => { ?x p:next ?z } .\n"
+    n3_docs = body.select(
+        F.lit("rules.n3").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit(header), F.col("facts"), F.lit(rule)).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("n3").alias("syntax"),
+        F.lit(None).cast("string").alias("expect"),
+    )
+    triples, _errors = split_extract(extract_triples(n3_docs))
+    # doubling closure: distance covered doubles per round, so chains of
+    # length L fixpoint in ~log2(L) rounds; 16 covers sf1 chains (2500)
+    closed = forward_chain(triples.persist(), max_iter=16)
+    return closed.where(F.col("p") == PROP_NS + "next").select(
+        _doc_num(F.col("s")).alias("a"), _doc_num(F.col("o")).alias("b")
+    )
+
+
 def _tuned(spark: SparkSession) -> SparkSession:
     """Defensive session tuning for the correctness-gate scale (sf≤0.1):
     the driver's session may default to 200 shuffle partitions with AQE
@@ -670,10 +767,13 @@ _QUERIES = {
         "kg_path_closure": q_kg_path_closure,
         "kg_pagerank": q_kg_pagerank,
         "kg_canonical_triples": q_kg_canonical_triples,
+        "kg_n3_entailment": q_kg_n3_entailment,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_capped": q_dedup_ngram_capped,
+        "dedup_minhash_capped": q_dedup_minhash_capped,
         "quality_decontam": q_quality_decontam,
         "quality_repetition": q_quality_repetition,
         "quality_pii": q_quality_pii,
@@ -682,6 +782,7 @@ _QUERIES = {
         "text_profile": q_text_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
         "media_decode": q_media_decode,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -731,6 +832,55 @@ def _sketch_sql(n_bits: int = 8) -> str:
     return " + ".join(terms)
 
 
+def _ivf_sql(n_centroids: int = 8, n_probe: int = 2, k: int = 3) -> str:
+    """DuckDB query reproducing similarity.ivf_topk(quantizer='md5')
+    bit-for-bit: per-vector centroid dots (left-to-right ±sums), bucket
+    = argmax dot (first occurrence on ties), queries probe their n_probe
+    best centroids, exact cosine re-rank inside probed buckets."""
+    from mentor_rdf_parsers_spark.operators.similarity import _ivf_centroid
+
+    dots = []
+    for i in range(n_centroids):
+        c = _ivf_centroid(i, EMB_DIM)
+        dot = " + ".join(
+            ("" if x > 0 else "-") + f"CAST(e[{j + 1}] AS DOUBLE)"
+            for j, x in enumerate(c)
+        )
+        dots.append(f"({dot})")
+    dots_list = "[" + ", ".join(dots) + "]"
+    return f"""
+WITH sk AS (
+  SELECT vec_id, embedding, {dots_list} AS dots
+  FROM (SELECT vec_id, embedding, embedding AS e FROM embeddings)
+),
+bk AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INT) AS bucket
+  FROM sk
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, dots FROM sk WHERE vec_id % 100 = 0),
+pr AS (
+  SELECT query_id, qe, i - 1 AS bucket,
+         row_number() OVER (PARTITION BY query_id ORDER BY dots[i] DESC, i) AS prk
+  FROM q, generate_series(1, {n_centroids}) g(i)
+),
+probes AS (SELECT query_id, qe, bucket FROM pr WHERE prk <= {n_probe}),
+p AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> CAST(qe[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))) AS nc
+  FROM probes JOIN bk s USING (bucket) WHERE s.vec_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, round(dot / (nq * nc), 6) AS sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY round(dot / (nq * nc), 6) DESC, neighbor_id) AS rk
+  FROM p
+)
+SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
+"""
+
+
 def _shingle_expr(n: int = 3) -> str:
     """DuckDB word-n-gram shingles matching linking.shingle_tokens
     (expects a CTE exposing the token list as `t`)."""
@@ -763,11 +913,18 @@ def _simhash_sql() -> str:
     return " + ".join(bit_sums)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(max_df: int | None = None, min_jaccard: float | None = None) -> str:
     """CTE chain reproducing minhash_candidate_pairs(hash_fn='md5'):
     Kirsch-Mitzenmacher double hashing — hash_i = (h1 + i·h2) mod P with
     h1/h2 the two 32-bit halves of one md5 per shingle (matches
-    operators/linking.py:minhash_bands md5 mode exactly)."""
+    operators/linking.py:minhash_bands md5 mode exactly).
+
+    ``max_df``: document-frequency cap applied to the (distinct)
+    shingle set before banding — the production web-scale configuration
+    of dedup_minhash_lsh (operators/dedup.py:_exploded_shingles).
+    ``min_jaccard``: also verify candidates with the exact Jaccard over
+    the (capped) shingle sets, reproducing dedup_minhash_lsh's output
+    (a, b, jaccard) instead of the raw candidate pairs."""
     prime = 4294967291
     mh_cols = ", ".join(
         f"min((h1 + {i} * h2) % {prime}) AS h{i}" for i in range(16)
@@ -784,19 +941,42 @@ def _minhash_sql() -> str:
         )
         for b in range(4)
     )
-    return f"""
+    if max_df is None:
+        sh_ctes = f"sh AS (SELECT doc_id, unnest({_shingle_expr(3)}) AS s FROM toks)"
+    else:
+        # distinct-per-doc shingles (matches _exploded_shingles'
+        # array_distinct) so the df counts docs, then the cap drops hot
+        # shingles before banding AND before the verification sets
+        sh_ctes = (
+            f"sh0 AS (SELECT DISTINCT doc_id, unnest({_shingle_expr(3)}) AS s FROM toks),\n"
+            f"hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {max_df}),\n"
+            "sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s))"
+        )
+    core = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, unnest({_shingle_expr(3)}) AS s FROM toks),
+{sh_ctes},
 shm AS (SELECT doc_id, md5(s) AS m FROM sh),
 sh2 AS (SELECT doc_id, CAST('0x' || substr(m, 1, 8) AS BIGINT) AS h1,
                CAST('0x' || substr(m, 9, 8) AS BIGINT) AS h2 FROM shm),
 mh0 AS (SELECT doc_id, {mh_cols} FROM sh2 GROUP BY doc_id),
 mh AS (SELECT d.doc_id, {sentinel_cols}
        FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN mh0 ON d.doc_id = mh0.doc_id),
-bands AS ({bands})
-SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+bands AS ({bands})"""
+    pair_sql = """SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y USING (band_idx, band_hash)
-WHERE x.doc_id < y.doc_id
+WHERE x.doc_id < y.doc_id"""
+    if min_jaccard is None:
+        return core + "\n" + pair_sql + "\n"
+    jac = "CASE WHEN na + nb - i > 0 THEN i / (na + nb - i) ELSE 1.0 END"
+    return f"""{core},
+pairs AS ({pair_sql}),
+arr0 AS (SELECT doc_id, list(DISTINCT s) AS shl FROM sh GROUP BY doc_id),
+arr AS (SELECT d.doc_id, coalesce(shl, CAST([] AS VARCHAR[])) AS shl
+        FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN arr0 USING (doc_id)),
+j AS (SELECT a, b, len(list_intersect(xa.shl, xb.shl)) AS i,
+             len(xa.shl) AS na, len(xb.shl) AS nb
+      FROM pairs JOIN arr xa ON pairs.a = xa.doc_id JOIN arr xb ON pairs.b = xb.doc_id)
+SELECT a, b, round({jac}, 6) AS jaccard FROM j WHERE {jac} >= {min_jaccard}
 """
 
 
@@ -939,6 +1119,22 @@ FROM inter JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.do
 WHERE i / (na.n + nb.n - i) >= 0.5
 """,
         "dedup_minhash_pairs": _minhash_sql(),
+        "dedup_ngram_capped": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, unnest({_shingle_expr(3)}) AS s FROM toks),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {_DF_CAP}),
+sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*)::BIGINT AS i
+  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.doc_id
+WHERE i / (na.n + nb.n - i) >= 0.5
+""",
+        "dedup_minhash_capped": _minhash_sql(max_df=_DF_CAP, min_jaccard=0.5),
         "dedup_simhash": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
 SELECT doc_id AS id, simhash, COUNT(*) OVER (PARTITION BY simhash)::BIGINT AS bucket_size
@@ -1066,6 +1262,13 @@ r AS (
   FROM p
 )
 SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+""",
+        "ann_ivf_topk": _ivf_sql(n_centroids=8, n_probe=2, k=3),
+        # entailed p:next fixpoint of the transitive rule over per-source
+        # chains = all ordered pairs within a source group (closed form)
+        "kg_n3_entailment": """
+SELECT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b
+FROM documents x JOIN documents y ON x.source = y.source AND x.doc_id < y.doc_id
 """,
         # the deterministic fake decode (operators/multimodal.py:_fake_decode)
         # is a pure function of sha256(payload) where payload is the UTF-8

@@ -193,6 +193,40 @@ def embedding_near_dup_pairs(
     )
 
 
+def _ivf_centroid(i: int, dim: int) -> list[float]:
+    """Deterministic ±1 coarse-quantizer centroid: component j of
+    centroid i is ±1 from md5("ivf:{i}:{j}"). Seedless and
+    engine-independent (same derivation idea as :func:`_hyperplane`).
+    All centroids share one norm (√dim), so nearest-centroid equals
+    argmax dot product — one left-to-right double sum per centroid,
+    bit-reproducible in any SQL engine."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"ivf:{i}:{j}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    return out
+
+
+def ivf_dots(vec: Column, dim: int, n_centroids: int) -> Column:
+    """``array<double>`` of v·c_i against the deterministic centroids,
+    each dot a left-to-right fold (matches a sequential SQL sum)."""
+    dots = []
+    for i in range(n_centroids):
+        plane = _ivf_centroid(i, dim)
+        dots.append(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+    return F.array(*dots)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -203,61 +237,107 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_dp: int = 6,
     seed: int = 42,
+    quantizer: str = "kmeans",
+    dim: int | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans coarse quantizer → each vector
-    lands in one centroid bucket → queries probe their `n_probe` nearest
+    """IVF (inverted-file) ANN: coarse quantizer → each vector lands in
+    one centroid bucket → queries probe their `n_probe` nearest
     centroids → exact cosine re-rank inside the probed buckets only.
 
     The 100 TB shape: the corpus is scanned once at index-build, stored
     clustered by centroid id (partition pruning at query time); per query
     only |corpus|·(n_probe/n_centroids) candidates are scored. Recall is
-    tuned by n_probe. KMeans seed fixed → deterministic across runs.
+    tuned by n_probe.
+
+    ``quantizer``:
+
+    * ``"kmeans"`` — data-adaptive centroids (best recall); seed fixed →
+      deterministic across runs, but not reproducible outside Spark ML.
+    * ``"md5"`` — deterministic ±1 centroids (requires ``dim``); lower
+      recall than KMeans on clustered data but every value — bucket
+      assignment, probe order, final ranks — is reproducible in a plain
+      SQL oracle, which is how the driver value-checks this operator.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-    ).withColumn("feat", array_to_vector(F.col("cv").cast("array<double>")))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="feat", predictionCol="bucket")
-    model = km.fit(corpus)
-    indexed = model.transform(corpus).select("neighbor_id", "cv", "bucket")
-    indexed = indexed.withColumn("cn", norm(F.col("cv")))
-
-    # assign each query its n_probe nearest centroids (centroids are tiny →
-    # crossJoin with a broadcast literal table)
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = embeddings.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(centroids, "bucket int, center array<double>")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    probes = (
-        q.crossJoin(cent_df)
-        .withColumn(
-            "dist",
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"), F.col("center"),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    if quantizer == "md5":
+        if dim is None:
+            raise ValueError("quantizer='md5' requires dim")
+        indexed = (
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            )
+            .withColumn("dots", ivf_dots(F.col("cv"), dim, n_centroids))
+            # argmax dot = nearest equal-norm centroid; first occurrence
+            # breaks float ties toward the lowest bucket index, same as
+            # the oracle's list_position
+            .withColumn(
+                "bucket",
+                (F.array_position(F.col("dots"), F.array_max("dots")) - 1).cast("int"),
+            )
+            .select("neighbor_id", "cv", "bucket")
+            .withColumn("cn", norm(F.col("cv")))
+        )
+        qd = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).withColumn("dots", ivf_dots(F.col("qv"), dim, n_centroids))
+        probes = (
+            qd.select("query_id", "qv", F.posexplode("dots").alias("pos", "d"))
+            .withColumn(
+                "prk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("pos"))
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+            )
+            .where(F.col("prk") <= n_probe)
+            .select("query_id", "qv", F.col("pos").cast("int").alias("bucket"))
         )
-        .withColumn(
-            "rk", F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("bucket"))
-            ),
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        ).withColumn("feat", array_to_vector(F.col("cv").cast("array<double>")))
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="feat", predictionCol="bucket")
+        model = km.fit(corpus)
+        indexed = model.transform(corpus).select("neighbor_id", "cv", "bucket")
+        indexed = indexed.withColumn("cn", norm(F.col("cv")))
+
+        # assign each query its n_probe nearest centroids (centroids are
+        # tiny → crossJoin with a broadcast literal table)
+        centroids = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        spark = embeddings.sparkSession
+        cent_df = F.broadcast(
+            spark.createDataFrame(centroids, "bucket int, center array<double>")
         )
-        .where(F.col("rk") <= n_probe)
-        .select("query_id", "qv", "bucket")
-    )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        probes = (
+            q.crossJoin(cent_df)
+            .withColumn(
+                "dist",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), F.col("center"),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .withColumn(
+                "rk", F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("bucket"))
+                ),
+            )
+            .where(F.col("rk") <= n_probe)
+            .select("query_id", "qv", "bucket")
+        )
+    else:
+        raise ValueError(f"unknown quantizer: {quantizer!r}")
     scored = (
         probes.withColumn("qn", norm(F.col("qv")))
         .join(indexed, "bucket")

@@ -15,6 +15,15 @@ Stage layout under `out_dir`:
     linked/             triples + entity column from the alias dictionary
     canonical/          owl:sameAs-collapsed, deduplicated graph
     canonical_metrics/
+
+Document-level near-dup policy (when wiring operators.dedup ahead of
+extract): `dedup_keep_first(pairs)` is the cheap default — it drops every
+id appearing as the dominated `b` side of any pair, which over-drops on
+chains (pairs (a,b),(b,c) drop BOTH b and c even though c's only
+dominator b was itself dropped). Pass `exact=True` for the true greedy
+keep-first (only ids dominated by a *surviving* id are dropped; iterative
+topological peel, rounds ∝ domination-chain depth). Both modes are
+chain-behavior tested (tests/test_pipeline_operators.py).
 """
 
 from __future__ import annotations

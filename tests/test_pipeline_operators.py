@@ -403,6 +403,29 @@ def test_ivf_topk_recall(spark):
     assert all(r["sim"] >= -1.0 for r in approx) and len(approx) > 0
 
 
+def test_ivf_topk_md5_quantizer(spark):
+    """Deterministic md5 quantizer: full-probe result equals brute force;
+    bucket assignment covers [0, n_centroids)."""
+    import math
+    from mentor_rdf_parsers_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rows = []
+    for i in range(60):
+        ang = (i % 12) * math.pi / 6 + (0.02 * (i // 12))
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.5, -0.5]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where("vec_id in (0, 7)")
+    exact = {(r["query_id"], r["rk"]): r["neighbor_id"]
+             for r in brute_force_topk(emb, queries, k=3).collect()}
+    full = {(r["query_id"], r["rk"]): r["neighbor_id"]
+            for r in ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=4,
+                              quantizer="md5", dim=4).collect()}
+    assert full == exact
+    approx = ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=1,
+                      quantizer="md5", dim=4).collect()
+    assert all(r["sim"] >= -1.0 for r in approx) and len(approx) > 0
+
+
 def test_pagerank_chain_closed_form(spark):
     from decimal import Decimal
     from mentor_rdf_parsers_spark.operators.paths import pagerank
