@@ -307,8 +307,16 @@ def q_dedup_simhash(spark, sf_dir):
 
 # df-cap used by the *_capped twins: the production web-scale
 # configuration (hot boilerplate shingles dropped before any self-join).
-# 3 is meaningful at sf0.01 (drops ~600 of 16k shingles, empties no doc).
-_DF_CAP = 3
+# RELATIVE to corpus size — max(3, 0.6% of docs) — because an absolute
+# cap tuned at one scale strips most shingles at 10x that scale
+# (measured at the sf1 bench: a fixed cap of 3 emptied thousands of
+# docs). 0.6% of sf0.01's 500 docs = 3, which drops ~600 of 16k
+# shingles there while emptying no document.
+def _df_cap(n_docs: int) -> int:
+    return max(3, n_docs * 6 // 1000)
+
+
+_DF_CAP_SQL = "greatest(3, (SELECT COUNT(*) * 6 // 1000 FROM documents))"
 
 
 def q_dedup_ngram_capped(spark, sf_dir):
@@ -316,7 +324,9 @@ def q_dedup_ngram_capped(spark, sf_dir):
     the configuration a 100 TB run uses (bounds the shingle self-join at
     Σdf² over surviving shingles), value-checked like the parity one."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.5, max_doc_freq=_DF_CAP)
+    pairs = ngram_jaccard_pairs(
+        docs, min_jaccard=0.5, max_doc_freq=_df_cap(docs.count())
+    )
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -328,7 +338,7 @@ def q_dedup_minhash_capped(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_lsh(
         docs, num_hashes=16, bands=4, shingle_n=3,
-        min_jaccard=0.5, hash_fn="md5", max_doc_freq=_DF_CAP,
+        min_jaccard=0.5, hash_fn="md5", max_doc_freq=_df_cap(docs.count()),
     )
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -913,7 +923,7 @@ def _simhash_sql() -> str:
     return " + ".join(bit_sums)
 
 
-def _minhash_sql(max_df: int | None = None, min_jaccard: float | None = None) -> str:
+def _minhash_sql(max_df: "int | str | None" = None, min_jaccard: float | None = None) -> str:
     """CTE chain reproducing minhash_candidate_pairs(hash_fn='md5'):
     Kirsch-Mitzenmacher double hashing — hash_i = (h1 + i·h2) mod P with
     h1/h2 the two 32-bit halves of one md5 per shingle (matches
@@ -928,9 +938,6 @@ def _minhash_sql(max_df: int | None = None, min_jaccard: float | None = None) ->
     prime = 4294967291
     mh_cols = ", ".join(
         f"min((h1 + {i} * h2) % {prime}) AS h{i}" for i in range(16)
-    )
-    sentinel_cols = ", ".join(
-        f"coalesce(h{i}, {-(i + 1)}) AS h{i}" for i in range(16)
     )
     bands = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM mh".format(
@@ -958,9 +965,7 @@ WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 shm AS (SELECT doc_id, md5(s) AS m FROM sh),
 sh2 AS (SELECT doc_id, CAST('0x' || substr(m, 1, 8) AS BIGINT) AS h1,
                CAST('0x' || substr(m, 9, 8) AS BIGINT) AS h2 FROM shm),
-mh0 AS (SELECT doc_id, {mh_cols} FROM sh2 GROUP BY doc_id),
-mh AS (SELECT d.doc_id, {sentinel_cols}
-       FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN mh0 ON d.doc_id = mh0.doc_id),
+mh AS (SELECT doc_id, {mh_cols} FROM sh2 GROUP BY doc_id),
 bands AS ({bands})"""
     pair_sql = """SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y USING (band_idx, band_hash)
@@ -1122,7 +1127,7 @@ WHERE i / (na.n + nb.n - i) >= 0.5
         "dedup_ngram_capped": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh0 AS (SELECT DISTINCT doc_id, unnest({_shingle_expr(3)}) AS s FROM toks),
-hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {_DF_CAP}),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {_DF_CAP_SQL}),
 sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -1134,7 +1139,7 @@ SELECT a, b, round(i / (na.n + nb.n - i), 6) AS jaccard
 FROM inter JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.doc_id
 WHERE i / (na.n + nb.n - i) >= 0.5
 """,
-        "dedup_minhash_capped": _minhash_sql(max_df=_DF_CAP, min_jaccard=0.5),
+        "dedup_minhash_capped": _minhash_sql(max_df=_DF_CAP_SQL, min_jaccard=0.5),
         "dedup_simhash": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
 SELECT doc_id AS id, simhash, COUNT(*) OVER (PARTITION BY simhash)::BIGINT AS bucket_size

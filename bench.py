@@ -98,9 +98,12 @@ def main() -> None:
         "kg_canonical_triples",
         "dedup_minhash_pairs",
         "dedup_ngram_jaccard",
+        "dedup_ngram_capped",
+        "dedup_minhash_capped",
         "quality_decontam",
         "text_profile",
         "ann_cosine_topk",
+        "ann_ivf_topk",
         "rel_agg_pricing",
         "rel_join_topk",
         "rel_window_topk",

@@ -100,14 +100,10 @@ def dedup_minhash_lsh(
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn, shingles=sh
     )
+    # docs with zero (post-cap) shingles emit no bands and never pair
+    # (see minhash_bands — the old sentinel behavior was quadratic in
+    # the number of empty docs), so every paired id has a shingle array
     arrays = sh.groupBy("id").agg(F.collect_list("s").alias("sh"))
-    # docs with zero (post-cap) shingles: empty array, matching the
-    # banding sentinel behavior (they only pair with each other)
-    arrays = (
-        df.select(F.col(id_col).alias("id"))
-        .join(arrays, "id", "left")
-        .select("id", F.coalesce("sh", F.array().cast("array<string>")).alias("sh"))
-    )
     return (
         pairs.join(arrays.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
         .join(arrays.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")

@@ -137,22 +137,14 @@ def minhash_bands(
             for i in range(num_hashes)
         ]
     mh = sh.groupBy("id").agg(*mins)
-    # docs with no shingles dropped by explode → rejoin with sentinels so
-    # empty docs only collide with each other (matches the DuckDB oracle);
-    # md5-mode hashes are ≥ 0, so negative values can never collide with real ones
-    sentinels = [
-        (F.lit(-(i + 1)).cast("long") if hash_fn == "md5" else F.lit(-(2**62) - i)).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sig = (
-        df.select(F.col(id_col).alias("id"))
-        .join(mh, "id", "left")
-        .select(
-            "id",
-            *[F.coalesce(F.col(f"mh{i}"), sentinels[i]).alias(f"mh{i}")
-              for i in range(num_hashes)],
-        )
-    )
+    # Docs with no (post-cap) shingles are dropped by the explode and
+    # emit NO bands — they can never pair. An earlier revision rejoined
+    # them with sentinel signatures so empty docs paired with each other,
+    # which is quadratic in the number of empty docs: at 10x bench scale
+    # a too-tight df cap emptied thousands of docs and the sentinel
+    # self-join blew a 16s query up to 372s. A web-scale dedup must drop
+    # shingle-less docs, not all-pairs them.
+    sig = mh
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]

@@ -1,0 +1,193 @@
+"""Hub-skew salting under actual skew: measured evidence for
+materialize.with_salt / explode_salt (VERDICT r2 item 6).
+
+Scenario modeled: a shuffle join between a triple-scale fact table whose
+subject distribution has one hub entity holding ~20% of all rows (the
+north_rule's "salted repartitioning for hub-entity skew") and a
+per-subject dimension too large to broadcast (at 100 TB the dim is the
+entity dictionary — broadcast is off the table, so the join shuffles
+both sides on the key and the hub key collapses into ONE task).
+
+Three runs over the same deterministically-generated parquet input,
+AQE's own skew mitigation disabled so the mechanism under test is the
+salt (a 1000-executor cluster still wants explicit salting wherever AQE
+can't see the skew — e.g. skewed aggregations feeding the join):
+
+  unsalted   join on s                  -> hub lands in one task
+  salted     with_salt(fact, n_salt=16) + explode_salt(dim): join on
+             (s, salt) -> hub spread over 16 tasks
+  aqe_skew   unsalted but AQE skewJoin ON (Spark's runtime split), for
+             context
+
+Reported per run: wall seconds, and the join-stage per-task duration
+median/max from the Spark REST API — the salted run's max task should
+sit within ~2x of its median while the unsalted max is the hub task.
+
+Usage: python scripts/skew_bench.py [--rows 4000000] [--hub-share 0.2]
+Appends a record to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from mentor_rdf_parsers_spark.operators.materialize import explode_salt, with_salt
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master("local[16]")
+        .appName("skew-bench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        # the mechanism under test is the explicit salt, not AQE's
+        # runtime skew split; re-enabled for the context run
+        .config("spark.sql.adaptive.skewJoin.enabled", "false")
+        # model the 100 TB case: dim too big to broadcast -> shuffle join
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+
+
+def task_stats(spark: SparkSession, t0_ms: float) -> dict:
+    """Median/max task duration of the heaviest stage submitted after
+    t0_ms, via the Spark UI REST API."""
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+            )
+        )
+        best = None
+        for st in stages:
+            sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
+            if not sub:
+                continue
+            ts = datetime.datetime.strptime(
+                sub.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+            ).timestamp() * 1000
+            if ts < t0_ms:
+                continue
+            q = json.load(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app_id}/stages/"
+                    f"{st['stageId']}/{st['attemptId']}/taskSummary"
+                    "?quantiles=0.0,0.5,1.0"
+                )
+            )
+            med, mx = q["duration"][1], q["duration"][2]
+            if best is None or mx > best["max_task_ms"]:
+                best = {
+                    "stage_id": st["stageId"],
+                    "n_tasks": st["numCompleteTasks"],
+                    "median_task_ms": round(med, 1),
+                    "max_task_ms": round(mx, 1),
+                    "max_over_median": round(mx / med, 2) if med else None,
+                }
+        return best or {"error": "no stage found"}
+    except Exception as exc:  # REST shape drift should not kill the bench
+        return {"error": str(exc)[:200]}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--hub-share", type=float, default=0.2)
+    ap.add_argument("--n-keys", type=int, default=50_000)
+    ap.add_argument("--n-salt", type=int, default=16)
+    args = ap.parse_args()
+
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="skew_bench_")
+    try:
+        # deterministic skewed fact: first hub_share of row ids -> "hub",
+        # the rest uniform over n_keys subjects
+        hub_rows = int(args.rows * args.hub_share)
+        fact = spark.range(args.rows).select(
+            F.when(F.col("id") < hub_rows, F.lit("hub"))
+            .otherwise(F.concat(F.lit("s"), (F.col("id") % args.n_keys).cast("string")))
+            .alias("s"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        dim = spark.range(args.n_keys + 1).select(
+            F.when(F.col("id") == args.n_keys, F.lit("hub"))
+            .otherwise(F.concat(F.lit("s"), F.col("id").cast("string")))
+            .alias("s"),
+            F.md5(F.col("id").cast("string")).alias("attr"),
+        )
+        fact.repartition(32).write.parquet(f"{tmp}/fact")
+        dim.repartition(8).write.parquet(f"{tmp}/dim")
+        factp = spark.read.parquet(f"{tmp}/fact")
+        dimp = spark.read.parquet(f"{tmp}/dim")
+
+        def run(mode: str) -> dict:
+            if mode == "aqe_skew":
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            else:
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            t0_ms = time.time() * 1000
+            t0 = time.time()
+            if mode == "salted":
+                f = with_salt(factp, "s", args.n_salt)
+                d = explode_salt(dimp, args.n_salt)
+                out = f.join(d, ["s", "salt"])
+            else:
+                out = factp.join(dimp, "s")
+            n = out.agg(F.count("*"), F.max("attr")).collect()[0][0]
+            wall = round(time.time() - t0, 2)
+            stats = task_stats(spark, t0_ms)
+            rec = {"mode": mode, "wall_sec": wall, "rows_joined": n, **stats}
+            print(json.dumps(rec))
+            return rec
+
+        results = [run("unsalted"), run("salted"), run("aqe_skew")]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stamp = datetime.datetime.utcnow().strftime("%Y-%m-%d %H:%M UTC")
+    lines = [
+        f"\n## Hub-skew salting bench — {stamp}\n",
+        f"`scripts/skew_bench.py --rows {args.rows} --hub-share {args.hub_share} "
+        f"--n-keys {args.n_keys} --n-salt {args.n_salt}` — one hub subject holds "
+        f"{int(args.hub_share * 100)}% of {args.rows:,} fact rows; per-subject dim "
+        "(broadcast disabled to model a dictionary too large to broadcast, AQE "
+        "skew-split off for the salt runs).\n",
+        "| mode | wall (s) | join-stage tasks | median task (ms) | max task (ms) | max/median |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['mode']} | {r['wall_sec']} | {r.get('n_tasks', '?')} | "
+            f"{r.get('median_task_ms', '?')} | {r.get('max_task_ms', '?')} | "
+            f"{r.get('max_over_median', '?')} |"
+        )
+    lines.append("")
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "a") as fh:
+        fh.write("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
