@@ -144,8 +144,16 @@ def main() -> None:
 
         def run(mode: str) -> dict:
             if mode == "aqe_skew":
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
                 spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
             else:
+                # AQE fully off for the salt comparison: its partition
+                # coalescing merges the small non-hub partitions until
+                # they rival the hub partition, masking the skew the
+                # salt is there to fix (measured: max/median 1.1 with
+                # coalescing on). The mechanism under test is explicit
+                # salting for engines/stages where AQE cannot help.
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
                 spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
             t0_ms = time.time() * 1000
             t0 = time.time()
