@@ -343,6 +343,21 @@ def q_dedup_minhash_capped(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster-based dedup: capped n-gram-Jaccard pairs → Kiveris CC →
+    (id, component, keep). The DuckDB oracle re-derives the components
+    with a recursive label-propagation CTE — the iterative distributed
+    CC is value-checked against a fixpoint computed a completely
+    different way."""
+    from mentor_rdf_parsers_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, min_jaccard=0.5, max_doc_freq=_df_cap(docs.count())
+    )
+    return dedup_clusters(docs, pairs)
+
+
 def q_quality_decontam(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing an 8-gram with the
     pseudo eval set (every 97th document)."""
@@ -784,6 +799,7 @@ _QUERIES = {
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_capped": q_dedup_ngram_capped,
         "dedup_minhash_capped": q_dedup_minhash_capped,
+        "dedup_clusters": q_dedup_clusters,
         "quality_decontam": q_quality_decontam,
         "quality_repetition": q_quality_repetition,
         "quality_pii": q_quality_pii,
@@ -1140,6 +1156,31 @@ FROM inter JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.do
 WHERE i / (na.n + nb.n - i) >= 0.5
 """,
         "dedup_minhash_capped": _minhash_sql(max_df=_DF_CAP_SQL, min_jaccard=0.5),
+        "dedup_clusters": f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, unnest({_shingle_expr(3)}) AS s FROM toks),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {_DF_CAP_SQL}),
+sh AS (SELECT doc_id, s FROM sh0 ANTI JOIN hot USING (s)),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*)::BIGINT AS i
+  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT a, b FROM inter
+  JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.doc_id
+  WHERE i / (na.n + nb.n - i) >= 0.5
+),
+e AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b, a FROM pr),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN e ON reach.id = e.u
+)
+SELECT id, MIN(r) AS component, (id = MIN(r)) AS keep FROM reach GROUP BY id
+""",
         "dedup_simhash": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
 SELECT doc_id AS id, simhash, COUNT(*) OVER (PARTITION BY simhash)::BIGINT AS bucket_size

@@ -231,6 +231,37 @@ def dedup_simhash(
     return fp.join(counts, "simhash").select("id", "simhash", "bucket_size")
 
 
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-based resolution of near-dup pairs: transitively
+    connected docs form one cluster; the minimum id is the kept
+    representative.
+
+    The principled policy (vs :func:`dedup_keep_first`'s pairwise
+    heuristics): pairs (a,b),(b,c) put a,b,c in ONE cluster keeping only
+    a — chains neither over- nor under-drop. Runs the same Kiveris
+    large-star/small-star connected components as owl:sameAs
+    canonicalization (O(log n) rounds at any chain depth — see
+    operators/canonicalize.py), so the cost model is already proven at
+    the 100 TB design point.
+
+    Output: one row per document — (id, component, keep) where
+    ``component`` is the cluster's min id (the doc itself when unpaired)
+    and ``keep`` marks the representative.
+    """
+    from .canonicalize import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels = connected_components(edges)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("node", "id"), "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("component"))
+        .withColumn("keep", F.col("id") == F.col("component"))
+    )
+
+
 def dedup_keep_first(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     exact: bool = False, max_iter: int = 20,

@@ -175,6 +175,19 @@ def test_dedup_simhash_null_text_dropped(spark):
     assert 2 in rows
 
 
+def test_dedup_clusters_chain(spark):
+    # chain pairs (1,2),(2,3),(3,4) -> one cluster keeping only 1;
+    # unpaired 5 keeps itself
+    from mentor_rdf_parsers_spark.operators.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    rows = {r["id"]: r for r in dedup_clusters(ids, chain).collect()}
+    assert {i: rows[i]["component"] for i in range(1, 6)} == \
+        {1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+    assert sorted(i for i in rows if rows[i]["keep"]) == [1, 5]
+
+
 def test_dedup_keep_first(spark, docs):
     pairs = dedup_minhash_lsh(docs, min_jaccard=0.99)
     kept = sorted(r["doc_id"] for r in dedup_keep_first(docs, pairs).collect())
