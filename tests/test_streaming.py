@@ -141,3 +141,40 @@ def test_streaming_triple_rates_windowed(spark, tmp_path):
     # 3 one-minute windows x one syntax, 4 docs each
     assert len(got) == 3
     assert all(r["n_docs"] == 4 and r["syntax"] == "ntriples" for r in got)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark digest dedup: one output row per
+    distinct normalized text; digest set equals the batch dedup_exact."""
+    from mentor_rdf_parsers_spark.operators.dedup import dedup_exact
+    from mentor_rdf_parsers_spark.streaming.dedup_stream import dedup_stream
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(40)
+        .select("doc_id", "text")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    )
+    # inject exact duplicates (same text, later ids/ts)
+    dups = docs.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("ts"),
+    )
+    all_docs = docs.unionByName(dups)
+    in_dir = str(tmp_path / "docs_in")
+    all_docs.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(all_docs.schema).parquet(in_dir)
+    out = dedup_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT * FROM dedup_out")
+    batch = dedup_exact(all_docs)
+    assert got.count() == batch.count() == 40
+    assert {r["digest"] for r in got.collect()} == \
+        {r["digest"] for r in batch.collect()}
