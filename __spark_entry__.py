@@ -415,6 +415,18 @@ def q_corpus_pack(spark, sf_dir):
     return pack_sequences(docs, token_budget=512)
 
 
+def q_corpus_pack_sharded(spark, sf_dir):
+    """The 100 TB packing shape: per-shard cumulative windows (parallel
+    tasks, (shard, pack_id) globally unique) instead of the global
+    total-order window of `corpus_pack`."""
+    from mentor_rdf_parsers_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("long")
+    )
+    return pack_sequences(docs, token_budget=512, shard_col="shard")
+
+
 def q_text_profile(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text_profile(docs)
@@ -805,6 +817,7 @@ _QUERIES = {
         "quality_pii": q_quality_pii,
         "corpus_sample": q_corpus_sample,
         "corpus_pack": q_corpus_pack,
+        "corpus_pack_sharded": q_corpus_pack_sharded,
         "text_profile": q_text_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1256,6 +1269,25 @@ c AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
+  CAST(FLOOR(cum_before / 512) AS BIGINT) AS pack_id,
+  CAST(cum_before % 512 AS BIGINT) AS pack_offset
+FROM c
+""",
+        "corpus_pack_sharded": """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+    CAST(CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
+         ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS BIGINT)
+      AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT shard, doc_id, n_tokens,
   CAST(FLOOR(cum_before / 512) AS BIGINT) AS pack_id,
   CAST(cum_before % 512 AS BIGINT) AS pack_offset
 FROM c

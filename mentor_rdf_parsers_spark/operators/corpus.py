@@ -53,6 +53,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     order_col: str = None,
+    shard_col: str = None,
 ) -> DataFrame:
     """Assign docs to fixed-budget training sequences ("packs").
 
@@ -62,22 +63,29 @@ def pack_sequences(
     the exact formulation streaming packers implement, and directly
     expressible in SQL for the oracle.
 
-    At 100 TB: partition the corpus (e.g. by shard), run the window per
-    partition key, and make pack ids globally unique by prefixing the
-    shard — a global total-order window would single-task; this API is
-    the per-shard building block.
+    At 100 TB pass ``shard_col``: the cumulative window runs PER SHARD
+    (parallel tasks, pack ids local to the shard and globally unique as
+    the (shard, pack_id) pair) — without it the window is a global
+    total order, which is a deliberate single-task plan for small
+    corpora only.
     """
     order = order_col or id_col
     toks = token_count(F.col(text_col))
-    w = Window.orderBy(order)
+    w = (
+        Window.partitionBy(shard_col).orderBy(order)
+        if shard_col
+        else Window.orderBy(order)
+    )
     cum_before = F.coalesce(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),
     )
+    head = [F.col(shard_col)] if shard_col else []
     return (
-        df.select(F.col(id_col), toks.alias("n_tokens"))
+        df.select(*head, F.col(id_col), toks.alias("n_tokens"))
         .withColumn("cum_before", cum_before)
         .select(
+            *head,
             id_col,
             "n_tokens",
             F.floor(F.col("cum_before") / token_budget).cast("long").alias("pack_id"),

@@ -474,6 +474,26 @@ def test_corpus_sample_and_pack(spark):
     assert packed and max(r["pack_id"] for r in packed) == (total - by_id[199]["n_tokens"]) // 16
 
 
+def test_corpus_pack_sharded_equals_per_shard_global(spark):
+    """shard_col packing == running the global pack independently per
+    shard (the window parallelizes without changing values)."""
+    from mentor_rdf_parsers_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(100)], "doc_id long, text string"
+    ).withColumn("shard", (F.col("doc_id") % 4).cast("long"))
+    sharded = {
+        (r["shard"], r["doc_id"]): (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(docs, token_budget=16, shard_col="shard").collect()
+    }
+    for k in range(4):
+        solo = pack_sequences(
+            docs.where(F.col("shard") == k), token_budget=16
+        ).collect()
+        for r in solo:
+            assert sharded[(k, r["doc_id"])] == (r["pack_id"], r["pack_offset"])
+
+
 def test_write_stage_salted(spark, tmp_path):
     """Salted write: hub subject spreads over several files per bucket,
     while the bucket partition layout stays intact."""
