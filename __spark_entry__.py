@@ -684,6 +684,31 @@ _SPARQL_DESCRIBE = f"""
 DESCRIBE ?doc WHERE {{ ?doc <{PROP_NS}lang> "de" }}
 """
 
+_SPARQL_ASK = f"""ASK {{ ?d <{PROP_NS}lang> "de" }}"""
+
+_SPARQL_CONSTRUCT = f"""
+CONSTRUCT {{ ?d <{PROP_NS}tag> ?lang }} WHERE {{ ?d <{PROP_NS}lang> ?lang }}
+"""
+
+# mutate a copy of the graph: retract German lang triples (default graph
+# only — NQ-rendered docs live in named graphs and keep theirs), then
+# tag every remaining doc
+_SPARQL_UPDATE = f"""
+DELETE WHERE {{ ?d <{PROP_NS}lang> "de" }} ;
+INSERT {{ ?d <{PROP_NS}kept> "y" }} WHERE {{ ?d <{PROP_NS}lang> ?l }}
+"""
+
+# sequence + inverse property path: docs sharing a source value
+# (default graph only, so NQ-rendered docs are excluded)
+_SPARQL_PATH = f"""
+SELECT ?a ?b WHERE {{ ?a <{PROP_NS}source>/^<{PROP_NS}source> ?b }}
+"""
+
+_SPARQL_FILTER = f"""
+SELECT ?doc ?src WHERE {{ ?doc <{PROP_NS}source> ?src
+                          FILTER(STRSTARTS(?src, "src1")) }}
+"""
+
 
 def q_sparql_exec_select(spark, sf_dir):
     from mentor_rdf_parsers_spark.sparql.executor import execute
@@ -700,10 +725,53 @@ def q_sparql_describe(spark, sf_dir):
     return out.select("s", "p", "o", "o_lang", "o_dt")
 
 
+def q_sparql_exec_path(spark, sf_dir):
+    """Property-path execution (sequence `/` + inverse `^`) through the
+    real executor — bag semantics: exactly one row per ordered doc pair
+    sharing a source (each doc has one p:source triple)."""
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    return execute(_SPARQL_PATH, _triples(spark, sf_dir))
+
+
+def q_sparql_exec_filter(spark, sf_dir):
+    """FILTER + builtin (STRSTARTS) execution through the executor."""
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    return execute(_SPARQL_FILTER, _triples(spark, sf_dir))
+
+
 def q_sparql_exec_agg(spark, sf_dir):
     from mentor_rdf_parsers_spark.sparql.executor import execute
 
     return execute(_SPARQL_AGG, _triples(spark, sf_dir))
+
+
+def q_sparql_exec_ask(spark, sf_dir):
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    return execute(_SPARQL_ASK, _triples(spark, sf_dir))
+
+
+def q_sparql_exec_construct(spark, sf_dir):
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    return execute(_SPARQL_CONSTRUCT, _triples(spark, sf_dir))
+
+
+def q_sparql_update_roundtrip(spark, sf_dir):
+    """SPARQL Update execution (the reference only parses updates):
+    DELETE WHERE + INSERT ... WHERE sequence applied to a copy of the
+    extracted graph; returns the lang/kept predicate histogram of the
+    resulting graph, fully predictable from the source table."""
+    from mentor_rdf_parsers_spark.sparql.updates import execute_update
+
+    after = execute_update(_SPARQL_UPDATE, _triples(spark, sf_dir))
+    return (
+        after.where(F.col("p").isin(PROP_NS + "lang", PROP_NS + "kept"))
+        .groupBy("p", F.col("o").alias("val"))
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def q_sparql_exec_graph(spark, sf_dir):
@@ -838,7 +906,12 @@ _QUERIES = {
         "events_sessions": q_events_sessions,
         "sparql_exec_select": q_sparql_exec_select,
         "sparql_describe": q_sparql_describe,
+        "sparql_exec_path": q_sparql_exec_path,
+        "sparql_exec_filter": q_sparql_exec_filter,
         "sparql_exec_agg": q_sparql_exec_agg,
+        "sparql_exec_ask": q_sparql_exec_ask,
+        "sparql_exec_construct": q_sparql_exec_construct,
+        "sparql_update_roundtrip": q_sparql_update_roundtrip,
         "sparql_exec_graph": q_sparql_exec_graph,
         "sparql_bgp_filter": q_sparql_bgp_filter,
         "sparql_optional_minus": q_sparql_optional_minus,
@@ -1462,6 +1535,37 @@ SELECT {_DOC}, '{PROP_NS}n_chars', CAST(n_chars AS VARCHAR), NULL,
 UNION ALL
 SELECT {_DOC}, '{PROP_NS}text', text, lang, NULL FROM d
 """,
+        "sparql_exec_ask": "SELECT TRUE AS ask",
+        "sparql_exec_construct": (
+            f"SELECT 'iri' AS s_kind, {_DOC} AS s, '{PROP_NS}tag' AS p, "
+            "'literal' AS o_kind, lang AS o, CAST(NULL AS VARCHAR) AS o_lang, "
+            "CAST(NULL AS VARCHAR) AS o_dt FROM documents WHERE doc_id % 4 <> 3"
+        ),
+        # DELETE WHERE retracts default-graph "de" lang triples (named
+        # graphs keep theirs); INSERT..WHERE then tags the surviving
+        # default-graph docs
+        "sparql_update_roundtrip": f"""
+WITH lang_rows AS (
+  SELECT lang FROM documents WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT lang FROM documents WHERE doc_id % 4 <> 3 AND lang <> 'de'
+)
+SELECT '{PROP_NS}lang' AS p, lang AS val, COUNT(*)::BIGINT AS n
+FROM lang_rows GROUP BY lang
+UNION ALL
+SELECT '{PROP_NS}kept', 'y', COUNT(*)::BIGINT
+FROM documents WHERE doc_id % 4 <> 3 AND lang <> 'de'
+""",
+        "sparql_exec_path": (
+            f"SELECT '{DOC_NS}' || CAST(x.doc_id AS VARCHAR) AS a, "
+            f"'{DOC_NS}' || CAST(y.doc_id AS VARCHAR) AS b "
+            "FROM documents x JOIN documents y ON x.source = y.source "
+            "WHERE x.doc_id % 4 <> 3 AND y.doc_id % 4 <> 3"
+        ),
+        "sparql_exec_filter": (
+            f"SELECT {_DOC} AS doc, source AS src FROM documents "
+            "WHERE doc_id % 4 <> 3 AND source LIKE 'src1%'"
+        ),
         "sparql_exec_agg": (
             "SELECT lang, CAST(COUNT(*) AS VARCHAR) AS n FROM documents "
             "WHERE doc_id % 4 <> 3 GROUP BY lang"
