@@ -427,6 +427,20 @@ def q_corpus_pack_sharded(spark, sf_dir):
     return pack_sequences(docs, token_budget=512, shard_col="shard")
 
 
+_BM25_TERMS = ["hash", "join", "vector"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_text_search(spark, sf_dir):
+    """BM25-style (rational-idf) ranked retrieval — see
+    operators/textsearch.py for the no-logarithm determinism design."""
+    from mentor_rdf_parsers_spark.operators.textsearch import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
+
+
 def q_text_profile(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text_profile(docs)
@@ -887,6 +901,7 @@ _QUERIES = {
         "corpus_pack": q_corpus_pack,
         "corpus_pack_sharded": q_corpus_pack_sharded,
         "text_profile": q_text_profile,
+        "text_search": q_text_search,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1084,6 +1099,42 @@ j AS (SELECT a, b, len(list_intersect(xa.shl, xb.shl)) AS i,
              len(xa.shl) AS na, len(xb.shl) AS nb
       FROM pairs JOIN arr xa ON pairs.a = xa.doc_id JOIN arr xb ON pairs.b = xb.doc_id)
 SELECT a, b, round({jac}, 6) AS jaccard FROM j WHERE {jac} >= {min_jaccard}
+"""
+
+
+def _text_search_sql(k: int = 20) -> str:
+    """DuckDB query reproducing textsearch.bm25_topk bit-for-bit: same
+    rational-idf formula, same evaluation order, numeric literals
+    emitted via repr() so both engines parse the identical double."""
+    k1, b, k1p1 = repr(_BM25_K1), repr(_BM25_B), repr(_BM25_K1 + 1.0)
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    per_cols = ",\n  ".join(
+        f"COALESCE(MAX(CASE WHEN t = '{t}' THEN contrib END), 0.0) AS c{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    add = " + ".join(f"c{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+stats AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM lens),
+tf AS (
+  SELECT doc_id, w AS t, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN ({in_list}) GROUP BY 1, 2
+),
+dft AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+con AS (
+  SELECT doc_id, t,
+    (n_docs - df + 0.5) / (df + 0.5) * (tf * {k1p1})
+      / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS contrib
+  FROM tf JOIN dft USING (t) JOIN lens USING (doc_id) CROSS JOIN stats
+),
+per AS (SELECT doc_id,
+  {per_cols}
+  FROM con GROUP BY doc_id),
+s AS (SELECT doc_id AS id, round({add}, 6) AS score FROM per),
+r AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id) AS rk FROM s)
+SELECT id, score, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
 """
 
 
@@ -1366,6 +1417,7 @@ SELECT shard, doc_id, n_tokens,
 FROM c
 """,
         "text_profile": _text_profile_sql(),
+        "text_search": _text_search_sql(20),
         "ann_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
 p AS (

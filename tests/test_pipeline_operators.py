@@ -450,6 +450,31 @@ def test_pagerank_chain_closed_form(spark):
         assert pr[node] == Decimal(expect).quantize(pr[node]), (node, pr[node])
 
 
+def test_bm25_topk_ranking(spark):
+    """Docs with more query-term hits (and rarer terms) rank first;
+    ties break by id; rk is dense from 1."""
+    from mentor_rdf_parsers_spark.operators.textsearch import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "apple banana"),
+            (3, "cherry cherry cherry"),
+            (4, "durian durian"),
+            (5, "apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["apple", "cherry"], k=10)
+    rows = out.collect()
+    ranked = [r["id"] for r in sorted(rows, key=lambda r: r["rk"])]
+    # doc 4 has no query terms -> absent. Hand-computed order: doc 3
+    # (rare term, tf=3, short) > doc 1 (both terms) > doc 5 > doc 2
+    assert ranked == [3, 1, 5, 2]
+    assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == [1, 2, 3, 4]
+    assert all(r["score"] > 0 for r in rows)
+
+
 def test_corpus_sample_and_pack(spark):
     from mentor_rdf_parsers_spark.operators.corpus import pack_sequences, sample_corpus
 
