@@ -401,6 +401,13 @@ def q_quality_pii(spark, sf_dir):
     return scrub_pii(salted)
 
 
+def q_quality_gate(spark, sf_dir):
+    from mentor_rdf_parsers_spark.operators.quality import quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_gate(docs, min_tokens=20, max_tokens=60, min_quality=0.5)
+
+
 def q_corpus_sample(spark, sf_dir):
     from mentor_rdf_parsers_spark.operators.corpus import sample_corpus
 
@@ -897,6 +904,7 @@ _QUERIES = {
         "quality_decontam": q_quality_decontam,
         "quality_repetition": q_quality_repetition,
         "quality_pii": q_quality_pii,
+        "quality_gate": q_quality_gate,
         "corpus_sample": q_corpus_sample,
         "corpus_pack": q_corpus_pack,
         "corpus_pack_sharded": q_corpus_pack_sharded,
@@ -1373,6 +1381,11 @@ SELECT doc_id AS id, t3 AS clean_text,
   CAST(n_emails AS BIGINT) AS n_emails, CAST(n_ips AS BIGINT) AS n_ips,
   CAST(n_phones AS BIGINT) AS n_phones
 FROM s3
+""",
+        "quality_gate": f"""
+SELECT id, n_tokens, quality,
+  (n_tokens >= 20 AND n_tokens <= 60 AND quality >= 0.5) AS keep
+FROM ({_text_profile_sql()})
 """,
         "corpus_sample": """
 WITH k AS (SELECT doc_id, md5('sample:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)

@@ -150,6 +150,35 @@ def repetition_profile(
     return out.unionByName(empties)
 
 
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """The actual keep/drop decision of a curation pipeline: Gopher-style
+    hard gates over the one-pass ``textstats.text_profile`` metrics.
+
+    Output: (id, n_tokens, quality, keep) — still a pure map (the
+    profile shuffles nothing); filter the corpus with
+    ``df.join(gate.where("keep"), ...)`` or stream the booleans to a
+    labels table for audit. Thresholds are explicit parameters so the
+    production configuration is value-checkable (the driver's
+    `quality_gate` oracle applies the identical predicate in SQL).
+    """
+    from .textstats import text_profile
+
+    prof = text_profile(df, id_col, text_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+    return prof.select("id", "n_tokens", "quality", keep.alias("keep"))
+
+
 # PII patterns — deliberately simple, deterministic, and expressible
 # identically in Java regex (Spark) and RE2 (DuckDB): no backrefs, no
 # lookaround, no possessive quantifiers.

@@ -132,3 +132,20 @@ class TestScrubPii:
         [r] = scrub_pii(docs).collect()
         assert r["clean_text"] == "nothing sensitive here"
         assert r["n_emails"] == r["n_ips"] == r["n_phones"] == 0
+
+
+class TestQualityGate:
+    def test_gates_apply(self, spark):
+        from mentor_rdf_parsers_spark.operators.quality import quality_gate
+
+        docs = _docs(spark, [
+            ("short", "a b"),                                # under min_tokens
+            ("ok", "the cat sat on the mat and it is that"), # passes
+            ("junk", "!!! ### $$$ %%% ^^^ &&& *** ((( )))"), # low quality
+        ])
+        rows = {r["id"]: r for r in
+                quality_gate(docs, min_tokens=3, max_tokens=100,
+                             min_quality=0.3).collect()}
+        assert rows["short"]["keep"] is False
+        assert rows["ok"]["keep"] is True
+        assert rows["junk"]["keep"] is False
