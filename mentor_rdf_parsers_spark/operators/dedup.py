@@ -89,6 +89,13 @@ def dedup_minhash_lsh(
 
     Output: (a, b, jaccard) with a < b and jaccard ≥ min_jaccard.
 
+    CONTRACT: documents with zero (post-cap) shingles — shorter than
+    ``shingle_n`` tokens, or emptied by ``max_doc_freq`` — never appear
+    in the output, even when byte-identical. Pair this operator with
+    :func:`dedup_exact` for such docs (digest groupBy is exact and
+    cheap at any scale); an all-pairs sentinel for shingle-less docs is
+    quadratic in their count (see linking.minhash_bands).
+
     The corpus is tokenized/shingled ONCE: the exploded shingle frame is
     persisted and shared between the banding pass and the verification
     arrays (round-1 bench showed re-shingling in the verification join

@@ -101,6 +101,14 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, text) → exploded (id, band_idx, band_hash) blocking keys.
 
+    CONTRACT: documents with zero shingles — shorter than ``shingle_n``
+    tokens, or emptied by a ``max_doc_freq`` cap upstream — emit NO
+    bands and are never paired by any consumer of these keys, even when
+    byte-identical to each other. Route such docs through
+    :func:`~mentor_rdf_parsers_spark.operators.dedup.dedup_exact`
+    (digest groupBy — cheap and exact for tiny docs); see the inline
+    comment below for why an all-pairs sentinel is a scale hazard.
+
     Computed via explode + groupBy-min rather than per-row array
     expressions: N array-lambda min-hash columns each re-inline the whole
     tokenize/shingle tree (N× tokenization per row and a codegen blowup —

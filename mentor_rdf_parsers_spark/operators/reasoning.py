@@ -105,7 +105,7 @@ def forward_chain(triples: DataFrame, max_iter: int = 10) -> DataFrame:
     rules; returns facts (original default-graph triples + derived,
     deduplicated). Semi-naive fixpoint loop bounded by max_iter: each
     round joins only the PREVIOUS round's new facts (Δ) against the
-    store (premises with property paths fall back to full evaluation).
+    store.
     The frontier is `derived ANTI-JOIN facts` with null-safe equality
     (o_lang/o_dt/g are nullable — a plain anti-join would never match
     null keys and the loop would not terminate)."""
@@ -126,12 +126,11 @@ def forward_chain(triples: DataFrame, max_iter: int = 10) -> DataFrame:
         ex_delta = Executor(delta)
         derived = None
         for premise, conclusion in rules:
-            if any(isinstance(p, dict) for (_s, p, _o) in premise):
-                bindings = ex_all._compile_pattern(
-                    {"type": "bgp", "triples": premise}, None
-                )
-            else:
-                bindings = _bgp_seminaive(ex_all, ex_delta, premise)
+            # extract_rules only emits plain (s, p, o) tuple terms
+            # (_row_term), so every premise is semi-naive-evaluable;
+            # property-path premises would need a full-evaluation
+            # fallback here if extract_rules ever surfaced them
+            bindings = _bgp_seminaive(ex_all, ex_delta, premise)
             new = _instantiate(
                 ex_all, bindings, [(s, p, o, None) for (s, p, o) in conclusion]
             )

@@ -52,8 +52,20 @@ def bm25_topk(
     b: float = 0.75,
     round_dp: int = 6,
 ) -> DataFrame:
-    """Top-k documents for a bag-of-words query: (id, score, rk)."""
-    terms = list(query_terms)
+    """Top-k documents for a bag-of-words query: (id, score, rk).
+
+    Duplicate query terms are collapsed (first occurrence wins) — each
+    term contributes once to the score; an empty query returns an empty
+    result with the output schema rather than raising mid-plan.
+    """
+    # dict.fromkeys: dedupe while preserving order (a duplicated term
+    # would otherwise get its own c{i} column and be double-counted)
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id {id_type}, score double, rk long"
+        )
     toks = df.select(F.col(id_col).alias("id"), tokens_of(F.col(text_col)).alias("toks"))
     lens = toks.select("id", F.size("toks").cast("double").alias("dl"))
     stats = F.broadcast(

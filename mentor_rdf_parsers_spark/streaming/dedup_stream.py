@@ -41,7 +41,15 @@ def dedup_stream(
     Output: (digest, id, ts) — one row per distinct (normalized) text;
     which duplicate wins is arrival order (streams have no global
     "min id" until compaction).
+
+    Null-text documents are dropped before digesting: md5(NULL) = NULL
+    and ``dropDuplicatesWithinWatermark`` treats NULL as one key, so
+    without the filter every null-text doc inside the horizon would
+    collapse into a single emitted row. A caller who wants null-text
+    docs passed through should route them around the dedup
+    (``docs.where(col(text_col).isNull())`` unioned downstream).
     """
+    docs = docs.where(F.col(text_col).isNotNull())
     key = normalize_key(F.col(text_col)) if normalized else F.col(text_col)
     digested = docs.select(
         F.md5(key).alias("digest"),

@@ -475,6 +475,24 @@ def test_bm25_topk_ranking(spark):
     assert all(r["score"] > 0 for r in rows)
 
 
+def test_bm25_topk_empty_and_duplicate_terms(spark):
+    """Empty query → empty result with the output schema (no c0 crash);
+    duplicated query terms count once, not twice."""
+    from mentor_rdf_parsers_spark.operators.textsearch import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana banana")],
+        "doc_id long, text string",
+    )
+    empty = bm25_topk(docs, [], k=10)
+    assert empty.columns == ["id", "score", "rk"]
+    assert empty.count() == 0
+
+    once = {r["id"]: r["score"] for r in bm25_topk(docs, ["apple"], k=10).collect()}
+    twice = {r["id"]: r["score"] for r in bm25_topk(docs, ["apple", "apple"], k=10).collect()}
+    assert once == twice
+
+
 def test_corpus_sample_and_pack(spark):
     from mentor_rdf_parsers_spark.operators.corpus import pack_sequences, sample_corpus
 

@@ -178,3 +178,29 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert got.count() == batch.count() == 40
     assert {r["digest"] for r in got.collect()} == \
         {r["digest"] for r in batch.collect()}
+
+
+def test_streaming_dedup_drops_null_text(spark, tmp_path):
+    """Null-text docs are filtered before digesting — they neither
+    collapse into one NULL-digest row nor appear in the output."""
+    from mentor_rdf_parsers_spark.streaming.dedup_stream import dedup_stream
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, None), (4, "beta")],
+        "doc_id long, text string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    in_dir = str(tmp_path / "docs_in")
+    docs.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_null_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql("SELECT * FROM dedup_null_out").collect()
+    assert sorted(r["id"] for r in rows) == [1, 4]
+    assert all(r["digest"] is not None for r in rows)
