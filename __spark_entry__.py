@@ -160,34 +160,34 @@ def q_kg_pred_counts(spark, sf_dir):
     return _triples(spark, sf_dir).groupBy("p").agg(F.count("*").alias("n_triples"))
 
 
-def q_kg_lang_roundtrip(spark, sf_dir):
+def q_kg_roundtrip_facets(spark, sf_dir):
+    """Four extract-roundtrip invariants in one faceted result (merged
+    from the r1-r3 kg_lang_roundtrip / kg_text_langtag /
+    kg_nchars_roundtrip / kg_graph_roundtrip queries so every query fits
+    the driver's 50-row attestation window): per-doc lang literal,
+    langtagged text, typed n_chars lexical form, and named-graph
+    membership all survive render → distributed parse byte-for-byte."""
     t = _triples(spark, sf_dir)
-    return t.where(F.col("p") == PROP_NS + "lang").select(
-        F.col("s").alias("doc"), F.col("o").alias("lang_lit")
+    null_s = F.lit(None).cast("string")
+    lang = t.where(F.col("p") == PROP_NS + "lang").select(
+        F.lit("lang").alias("facet"), F.col("s").alias("doc"),
+        F.col("o").alias("v1"), null_s.alias("v2"),
     )
-
-
-def q_kg_text_langtag(spark, sf_dir):
-    t = _triples(spark, sf_dir)
-    return t.where(F.col("p") == PROP_NS + "text").select(
-        F.col("s").alias("doc"), F.col("o_lang").alias("lang_tag"), F.col("o").alias("text_val")
+    text = t.where(F.col("p") == PROP_NS + "text").select(
+        F.lit("text_langtag").alias("facet"), F.col("s").alias("doc"),
+        F.col("o_lang").alias("v1"), F.col("o").alias("v2"),
     )
-
-
-def q_kg_nchars_roundtrip(spark, sf_dir):
-    t = _triples(spark, sf_dir)
-    return t.where(F.col("p") == PROP_NS + "n_chars").select(
-        F.col("s").alias("doc"), F.col("o").alias("n_chars_lex"), F.col("o_dt").alias("dt")
+    nchars = t.where(F.col("p") == PROP_NS + "n_chars").select(
+        F.lit("n_chars").alias("facet"), F.col("s").alias("doc"),
+        F.col("o").alias("v1"), F.col("o_dt").alias("v2"),
     )
-
-
-def q_kg_graph_roundtrip(spark, sf_dir):
-    t = _triples(spark, sf_dir)
-    return (
+    graph = (
         t.where(F.col("g").isNotNull())
-        .select(F.col("s").alias("doc"), F.col("g").alias("graph"))
+        .select(F.col("s").alias("doc"), F.col("g").alias("v1"))
         .distinct()
+        .select(F.lit("graph").alias("facet"), "doc", "v1", null_s.alias("v2"))
     )
+    return lang.unionByName(text).unionByName(nchars).unionByName(graph)
 
 
 def q_kg_summary(spark, sf_dir):
@@ -307,40 +307,47 @@ def q_dedup_simhash(spark, sf_dir):
 
 # df-cap used by the *_capped twins: the production web-scale
 # configuration (hot boilerplate shingles dropped before any self-join).
-# RELATIVE to corpus size — max(3, 0.6% of docs) — because an absolute
-# cap tuned at one scale strips most shingles at 10x that scale
-# (measured at the sf1 bench: a fixed cap of 3 emptied thousands of
-# docs). 0.6% of sf0.01's 500 docs = 3, which drops ~600 of 16k
-# shingles there while emptying no document.
-def _df_cap(n_docs: int) -> int:
-    return max(3, n_docs * 6 // 1000)
+# The policy lives in the library — operators accept max_doc_freq="auto"
+# (operators/dedup.py:auto_doc_freq_cap, max(3, 0.6% of docs));
+# _DF_CAP_SQL below is its DuckDB oracle twin.
 
 
 _DF_CAP_SQL = "greatest(3, (SELECT COUNT(*) * 6 // 1000 FROM documents))"
 
 
-def q_dedup_ngram_capped(spark, sf_dir):
-    """ngram_jaccard_pairs with the production ``max_doc_freq`` cap on —
-    the configuration a 100 TB run uses (bounds the shingle self-join at
-    Σdf² over surviving shingles), value-checked like the parity one."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, min_jaccard=0.5, max_doc_freq=_df_cap(docs.count())
-    )
-    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
-
-
-def q_dedup_minhash_capped(spark, sf_dir):
-    """dedup_minhash_lsh (band candidates + exact-Jaccard verification,
-    shared persisted shingle frame) with the production df cap on."""
+def q_dedup_capped(spark, sf_dir):
+    """The two production-config near-dup paths in one faceted result
+    (merged from the r3 dedup_ngram_capped + dedup_minhash_capped
+    queries for the 50-row attestation window): exact n-gram Jaccard and
+    LSH-banded-then-verified pairs, both under the corpus-relative
+    ``max_doc_freq="auto"`` cap a 100 TB run needs (bounds the shingle
+    self-join at Σdf² over surviving shingles)."""
     from mentor_rdf_parsers_spark.operators.dedup import dedup_minhash_lsh
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_lsh(
-        docs, num_hashes=16, bands=4, shingle_n=3,
-        min_jaccard=0.5, hash_fn="md5", max_doc_freq=_df_cap(docs.count()),
+    ngram = ngram_jaccard_pairs(docs, min_jaccard=0.5, max_doc_freq="auto").select(
+        F.lit("ngram").alias("method"), "a", "b",
+        F.round("jaccard", 6).alias("jaccard"),
     )
-    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    mh = dedup_minhash_lsh(
+        docs, num_hashes=16, bands=4, shingle_n=3,
+        min_jaccard=0.5, hash_fn="md5", max_doc_freq="auto",
+    ).select(
+        F.lit("minhash").alias("method"), "a", "b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    return ngram.unionByName(mh)
+
+
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """Hamming-≤2 SimHash near-dup search: pigeonhole byte-banding →
+    bucket equi-join → exact popcount verify (never a cross join); the
+    DuckDB oracle recomputes the pairs brute-force, so banding recall
+    is value-checked, not assumed."""
+    from mentor_rdf_parsers_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, max_hamming=2)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -353,7 +360,7 @@ def q_dedup_clusters(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, min_jaccard=0.5, max_doc_freq=_df_cap(docs.count())
+        docs, min_jaccard=0.5, max_doc_freq="auto"
     )
     return dedup_clusters(docs, pairs)
 
@@ -416,22 +423,27 @@ def q_corpus_sample(spark, sf_dir):
 
 
 def q_corpus_pack(spark, sf_dir):
+    """Both sequence-packing modes in one faceted result (merged from
+    the r1 corpus_pack + r3 corpus_pack_sharded queries for the 50-row
+    attestation window): the global total-order window (mode='global',
+    the explicit small-corpus mode, shard = -1) and the 100 TB shape —
+    per-shard cumulative windows, parallel tasks, (shard, pack_id)
+    globally unique (mode='sharded')."""
     from mentor_rdf_parsers_spark.operators.corpus import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    return pack_sequences(docs, token_budget=512)
-
-
-def q_corpus_pack_sharded(spark, sf_dir):
-    """The 100 TB packing shape: per-shard cumulative windows (parallel
-    tasks, (shard, pack_id) globally unique) instead of the global
-    total-order window of `corpus_pack`."""
-    from mentor_rdf_parsers_spark.operators.corpus import pack_sequences
-
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "shard", (F.col("doc_id") % 8).cast("long")
+    g = pack_sequences(docs, token_budget=512).select(
+        F.lit("global").alias("mode"), F.lit(-1).cast("long").alias("shard"),
+        "doc_id", "n_tokens", "pack_id", "pack_offset",
     )
-    return pack_sequences(docs, token_budget=512, shard_col="shard")
+    sharded = pack_sequences(
+        docs.withColumn("shard", (F.col("doc_id") % 8).cast("long")),
+        token_budget=512, shard_col="shard",
+    ).select(
+        F.lit("sharded").alias("mode"), "shard",
+        "doc_id", "n_tokens", "pack_id", "pack_offset",
+    )
+    return g.unionByName(sharded)
 
 
 _BM25_TERMS = ["hash", "join", "vector"]
@@ -557,24 +569,37 @@ def q_rel_broadcast_dim(spark, sf_dir):
     )
 
 
-def q_rel_anti_join(spark, sf_dir):
+def q_rel_set_ops(spark, sf_dir):
+    """Anti-join, semi-join and INTERSECT in one faceted result (merged
+    from the r1 rel_anti_join / rel_semi_join / rel_intersect queries
+    for the 50-row attestation window): customers with no orders ('anti'),
+    customers with an open order ('semi'), and customers having both any
+    order and a ≥45-quantity lineitem ('intersect')."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
-
-
-def q_rel_semi_join(spark, sf_dir):
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
+    li = load_table(spark, sf_dir, "lineitem")
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey")
+    )
+    semi = (
         cust.join(
             orders.where(F.col("o_orderstatus") == "O"),
             cust.c_custkey == orders.o_custkey,
             "left_semi",
-        ).select("c_custkey")
+        ).select(F.lit("semi").alias("op"), "c_custkey")
     )
+    with_orders = orders.select(F.col("o_custkey").alias("k")).distinct()
+    big_spenders = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    inter = with_orders.intersect(big_spenders).select(
+        F.lit("intersect").alias("op"), F.col("k").alias("c_custkey")
+    )
+    return anti.unionByName(semi).unionByName(inter)
 
 
 def q_rel_left_join_null(spark, sf_dir):
@@ -623,20 +648,6 @@ def q_rel_rollup(spark, sf_dir):
             "qty",
         )
     )
-
-
-def q_rel_intersect(spark, sf_dir):
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    with_orders = orders.select(F.col("o_custkey").alias("k")).distinct()
-    big_spenders = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .where(F.col("l_quantity") >= 45)
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
-    )
-    return with_orders.intersect(big_spenders).select(F.col("k").alias("c_custkey"))
 
 
 def q_events_hourly(spark, sf_dir):
@@ -806,13 +817,15 @@ def q_kg_n3_entailment(spark, sf_dir):
 
     Facts: the consecutive-doc `p:next` edges within each source group
     (the same deterministic chains the CC/closure queries use), rendered
-    as ONE N3 document together with the transitive rule
-    ``{ ?x p:next ?y . ?y p:next ?z } => { ?x p:next ?z }``. The doc goes
-    through the real distributed N3 parse (formula graphs, quickvars,
-    log:implies — reference parses these, src/n3/reader.ts:859-897, but
-    never evaluates them), then `forward_chain` materializes the
-    fixpoint with distributed BGP joins. The entailed `p:next` set is
-    exactly the ordered pairs within each chain — a plain SQL self-join.
+    as 64 sharded N3 fact documents plus one rule document carrying the
+    transitive rule
+    ``{ ?x p:next ?y . ?y p:next ?z } => { ?x p:next ?z }``. The docs go
+    through the real distributed N3 parse in parallel (formula graphs,
+    quickvars, log:implies — reference parses these,
+    src/n3/reader.ts:859-897, but never evaluates them), then
+    `forward_chain` materializes the fixpoint with distributed BGP
+    joins. The entailed `p:next` set is exactly the ordered pairs within
+    each chain — a plain SQL self-join.
     """
     from mentor_rdf_parsers_spark.operators.reasoning import forward_chain
 
@@ -823,30 +836,49 @@ def q_kg_n3_entailment(spark, sf_dir):
         .withColumn("prev", F.lag("doc_id").over(w))
         .where(F.col("prev").isNotNull())
     )
+    # Facts are sharded into 64 N3 documents (one per doc_id bucket —
+    # each fact statement is self-contained, so the bundling is
+    # arbitrary) plus ONE tiny rule document; the distributed N3 parse
+    # then runs one task per doc instead of funneling every fact
+    # through a single collect_list string / single mapInPandas row
+    # (the r3 single-task bottleneck — at 100x, one doc = one task =
+    # the whole corpus on one core).
+    header = f"@prefix p: <{PROP_NS}> .\n@prefix d: <{DOC_NS}> .\n"
+    rule = "{ ?x p:next ?y . ?y p:next ?z } => { ?x p:next ?z } .\n"
+    n_shards = 64
     lines = edges.select(
+        (F.col("doc_id") % n_shards).alias("shard"),
         F.concat(
             F.lit("d:"), F.col("prev").cast("string"),
             F.lit(" p:next d:"), F.col("doc_id").cast("string"), F.lit(" ."),
-        ).alias("line")
+        ).alias("line"),
     )
-    body = lines.agg(
-        F.concat_ws("\n", F.array_sort(F.collect_list("line"))).alias("facts")
+    span = lambda text_col: F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            text_col.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
     )
-    header = f"@prefix p: <{PROP_NS}> .\n@prefix d: <{DOC_NS}> .\n"
-    rule = "\n{ ?x p:next ?y . ?y p:next ?z } => { ?x p:next ?z } .\n"
-    n3_docs = body.select(
+    fact_docs = (
+        lines.groupBy("shard")
+        .agg(F.concat_ws("\n", F.array_sort(F.collect_list("line"))).alias("facts"))
+        .select(
+            F.concat(F.lit("facts-"), F.col("shard").cast("string"), F.lit(".n3"))
+            .alias("doc_id"),
+            span(F.concat(F.lit(header), F.col("facts"), F.lit("\n"))).alias("spans"),
+            F.lit("n3").alias("syntax"),
+            F.lit(None).cast("string").alias("expect"),
+        )
+    )
+    rule_doc = spark.range(1).select(
         F.lit("rules.n3").alias("doc_id"),
-        F.array(
-            F.struct(
-                F.lit("text").alias("kind"),
-                F.concat(F.lit(header), F.col("facts"), F.lit(rule)).alias("text"),
-                F.lit(None).cast("string").alias("media_ref"),
-                F.lit(0).cast("int").alias("offset"),
-            )
-        ).alias("spans"),
+        span(F.lit(header + rule)).alias("spans"),
         F.lit("n3").alias("syntax"),
         F.lit(None).cast("string").alias("expect"),
     )
+    n3_docs = fact_docs.unionByName(rule_doc).repartition(n_shards)
     triples, _errors = split_extract(extract_triples(n3_docs))
     # doubling closure: distance covered doubles per round, so chains of
     # length L fixpoint in ~log2(L) rounds; 16 covers sf1 chains (2500)
@@ -881,12 +913,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _wrap(v) for k, v in _QUERIES.items()}
 
 
+# HARD CAP: the driver attests the first 50 entries only
+# (CORRECTNESS_r03 recorded exactly _QUERIES[:50] and the r3 tail got no
+# row). Keep len(_QUERIES) <= 50 — merge queries into faceted unions
+# (see q_kg_roundtrip_facets) rather than growing past the window.
 _QUERIES = {
         "kg_pred_counts": q_kg_pred_counts,
-        "kg_lang_roundtrip": q_kg_lang_roundtrip,
-        "kg_text_langtag": q_kg_text_langtag,
-        "kg_nchars_roundtrip": q_kg_nchars_roundtrip,
-        "kg_graph_roundtrip": q_kg_graph_roundtrip,
+        "kg_roundtrip_facets": q_kg_roundtrip_facets,
         "kg_summary": q_kg_summary,
         "kg_entity_link": q_kg_entity_link,
         "kg_sameas_components": q_kg_sameas_components,
@@ -898,8 +931,8 @@ _QUERIES = {
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_capped": q_dedup_ngram_capped,
-        "dedup_minhash_capped": q_dedup_minhash_capped,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "dedup_capped": q_dedup_capped,
         "dedup_clusters": q_dedup_clusters,
         "quality_decontam": q_quality_decontam,
         "quality_repetition": q_quality_repetition,
@@ -907,7 +940,6 @@ _QUERIES = {
         "quality_gate": q_quality_gate,
         "corpus_sample": q_corpus_sample,
         "corpus_pack": q_corpus_pack,
-        "corpus_pack_sharded": q_corpus_pack_sharded,
         "text_profile": q_text_profile,
         "text_search": q_text_search,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -918,13 +950,11 @@ _QUERIES = {
         "rel_agg_pricing": q_rel_agg_pricing,
         "rel_join_topk": q_rel_join_topk,
         "rel_broadcast_dim": q_rel_broadcast_dim,
-        "rel_anti_join": q_rel_anti_join,
-        "rel_semi_join": q_rel_semi_join,
+        "rel_set_ops": q_rel_set_ops,
         "rel_left_join_null": q_rel_left_join_null,
         "rel_window_topk": q_rel_window_topk,
         "rel_group_concat": q_rel_group_concat,
         "rel_rollup": q_rel_rollup,
-        "rel_intersect": q_rel_intersect,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "sparql_exec_select": q_sparql_exec_select,
@@ -939,6 +969,7 @@ _QUERIES = {
         "sparql_bgp_filter": q_sparql_bgp_filter,
         "sparql_optional_minus": q_sparql_optional_minus,
     }
+assert len(_QUERIES) <= 50, "driver attests only the first 50 queries"
 
 
 # ---------------------------------------------------------------------------
@@ -1207,18 +1238,17 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "kg_pred_counts": pred_counts,
-        "kg_lang_roundtrip": f"SELECT {_DOC} AS doc, lang AS lang_lit FROM documents",
-        "kg_text_langtag": (
-            f"SELECT {_DOC} AS doc, lang AS lang_tag, text AS text_val FROM documents"
-        ),
-        "kg_nchars_roundtrip": (
-            f"SELECT {_DOC} AS doc, CAST(n_chars AS VARCHAR) AS n_chars_lex, "
-            f"'{XSD_INTEGER}' AS dt FROM documents"
-        ),
-        "kg_graph_roundtrip": (
-            f"SELECT {_DOC} AS doc, '{GRAPH_NS}' || source AS graph "
-            "FROM documents WHERE doc_id % 4 = 3"
-        ),
+        "kg_roundtrip_facets": f"""
+SELECT 'lang' AS facet, {_DOC} AS doc, lang AS v1, CAST(NULL AS VARCHAR) AS v2
+FROM documents
+UNION ALL
+SELECT 'text_langtag', {_DOC}, lang, text FROM documents
+UNION ALL
+SELECT 'n_chars', {_DOC}, CAST(n_chars AS VARCHAR), '{XSD_INTEGER}' FROM documents
+UNION ALL
+SELECT 'graph', {_DOC}, '{GRAPH_NS}' || source, NULL
+FROM documents WHERE doc_id % 4 = 3
+""",
         "kg_summary": (
             "SELECT (COUNT(*) * 4)::BIGINT AS n_triples, COUNT(*)::BIGINT AS n_docs, "
             "(SELECT COUNT(DISTINCT source) FROM documents WHERE doc_id % 4 = 3)::BIGINT "
@@ -1285,7 +1315,8 @@ FROM inter JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.do
 WHERE i / (na.n + nb.n - i) >= 0.5
 """,
         "dedup_minhash_pairs": _minhash_sql(),
-        "dedup_ngram_capped": f"""
+        "dedup_capped": f"""
+SELECT 'ngram' AS method, * FROM (
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh0 AS (SELECT DISTINCT doc_id, unnest({_shingle_expr(3)}) AS s FROM toks),
 hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > {_DF_CAP_SQL}),
@@ -1299,8 +1330,18 @@ inter AS (
 SELECT a, b, round(i / (na.n + nb.n - i), 6) AS jaccard
 FROM inter JOIN sizes na ON inter.a = na.doc_id JOIN sizes nb ON inter.b = nb.doc_id
 WHERE i / (na.n + nb.n - i) >= 0.5
+)
+UNION ALL
+SELECT 'minhash' AS method, * FROM ({_minhash_sql(max_df=_DF_CAP_SQL, min_jaccard=0.5)})
 """,
-        "dedup_minhash_capped": _minhash_sql(max_df=_DF_CAP_SQL, min_jaccard=0.5),
+        "dedup_simhash_hamming": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+fp AS (SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS sh FROM toks)
+SELECT x.doc_id AS a, y.doc_id AS b,
+  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sh, y.sh)) <= 2
+""",
         "dedup_clusters": f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -1393,41 +1434,33 @@ SELECT doc_id FROM k WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1
 """,
         "corpus_pack": """
 WITH t AS (
-  SELECT doc_id,
-    CAST(CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
-         ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS BIGINT)
-      AS n_tokens
-  FROM documents
-),
-c AS (
-  SELECT doc_id, n_tokens,
-    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      AS cum_before
-  FROM t
-)
-SELECT doc_id, n_tokens,
-  CAST(FLOOR(cum_before / 512) AS BIGINT) AS pack_id,
-  CAST(cum_before % 512 AS BIGINT) AS pack_offset
-FROM c
-""",
-        "corpus_pack_sharded": """
-WITH t AS (
   SELECT doc_id, doc_id % 8 AS shard,
     CAST(CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
          ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS BIGINT)
       AS n_tokens
   FROM documents
 ),
-c AS (
+g AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS cum_before
+  FROM t
+),
+s AS (
   SELECT shard, doc_id, n_tokens,
     COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM t
 )
-SELECT shard, doc_id, n_tokens,
+SELECT 'global' AS mode, CAST(-1 AS BIGINT) AS shard, doc_id, n_tokens,
   CAST(FLOOR(cum_before / 512) AS BIGINT) AS pack_id,
   CAST(cum_before % 512 AS BIGINT) AS pack_offset
-FROM c
+FROM g
+UNION ALL
+SELECT 'sharded', shard, doc_id, n_tokens,
+  CAST(FLOOR(cum_before / 512) AS BIGINT),
+  CAST(cum_before % 512 AS BIGINT)
+FROM s
 """,
         "text_profile": _text_profile_sql(),
         "text_search": _text_search_sql(20),
@@ -1526,14 +1559,21 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
-        "rel_anti_join": (
-            "SELECT c_custkey, c_name FROM customer "
-            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
-        ),
-        "rel_semi_join": (
-            "SELECT c_custkey FROM customer WHERE EXISTS "
-            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')"
-        ),
+        "rel_set_ops": """
+SELECT 'anti' AS op, c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'semi', c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+UNION ALL
+SELECT 'intersect', c_custkey FROM (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_quantity >= 45
+)
+""",
         "rel_left_join_null": (
             "SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS n_orders "
             "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey"
@@ -1554,12 +1594,6 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
   COUNT(*)::BIGINT AS n,
   CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-        "rel_intersect": """
-SELECT DISTINCT o_custkey AS c_custkey FROM orders
-INTERSECT
-SELECT DISTINCT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-WHERE l_quantity >= 45
 """,
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*)::BIGINT AS n,

@@ -98,8 +98,8 @@ def main() -> None:
         "kg_canonical_triples",
         "dedup_minhash_pairs",
         "dedup_ngram_jaccard",
-        "dedup_ngram_capped",
-        "dedup_minhash_capped",
+        "dedup_capped",
+        "dedup_simhash_hamming",
         "quality_decontam",
         "text_profile",
         "ann_cosine_topk",
@@ -108,6 +108,10 @@ def main() -> None:
         "rel_join_topk",
         "rel_window_topk",
         "events_sessions",
+        # on the default list since r4: the r3 single-document fact
+        # funnel is gone (64 sharded N3 docs + 1 rule doc, 64-task
+        # parse; sf0.1 171.7 s -> ~148 s, parse stage itself 8 s)
+        "kg_n3_entailment",
     ]
     env_q = os.environ.get("SPARK_GRAFT_QUERIES")
     if env_q is None:

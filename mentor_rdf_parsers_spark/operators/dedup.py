@@ -34,6 +34,28 @@ from .linking import (
 )
 
 
+def auto_doc_freq_cap(n_docs: int) -> int:
+    """The production doc-frequency cap: max(3, 0.6 % of the corpus).
+
+    RELATIVE to corpus size — an absolute cap tuned at one scale strips
+    most shingles at 10× that scale (measured at the sf1 bench: a fixed
+    cap of 3 emptied thousands of docs). 0.6 % of a 500-doc corpus = 3,
+    which drops hot boilerplate shingles while emptying no document;
+    at 10^12 docs the same fraction still only removes stop-word runs.
+    """
+    return max(3, n_docs * 6 // 1000)
+
+
+def _resolve_doc_freq(
+    df: DataFrame, max_doc_freq: "int | str | None"
+) -> Optional[int]:
+    """``"auto"`` → :func:`auto_doc_freq_cap` of the corpus size (one
+    count job — trivial next to the shingle self-join it bounds)."""
+    if max_doc_freq == "auto":
+        return auto_doc_freq_cap(df.count())
+    return max_doc_freq
+
+
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int,
     max_doc_freq: Optional[int] = None,
@@ -83,7 +105,7 @@ def dedup_minhash_lsh(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
     min_jaccard: float = 0.7, hash_fn: str = "xxhash64",
-    max_doc_freq: Optional[int] = None,
+    max_doc_freq: "int | str | None" = None,
 ) -> DataFrame:
     """LSH candidate pairs verified with exact shingle Jaccard.
 
@@ -101,8 +123,10 @@ def dedup_minhash_lsh(
     arrays (round-1 bench showed re-shingling in the verification join
     dominating the query). ``max_doc_freq`` drops boilerplate shingles
     before banding — see :func:`_exploded_shingles`; the Jaccard is then
-    over the capped shingle sets on both sides.
+    over the capped shingle sets on both sides. Pass ``"auto"`` for the
+    proven corpus-relative cap (:func:`auto_doc_freq_cap`).
     """
+    max_doc_freq = _resolve_doc_freq(df, max_doc_freq)
     sh = _exploded_shingles(df, id_col, text_col, shingle_n, max_doc_freq).persist()
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn, shingles=sh
@@ -130,16 +154,18 @@ def dedup_minhash_lsh(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, min_jaccard: float = 0.5,
-    max_doc_freq: Optional[int] = None,
+    max_doc_freq: "int | str | None" = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle-explode equi-join.
 
     Shuffle ∝ Σ shingle frequency² — a 100 TB run MUST cap it with
     ``max_doc_freq`` (shingles above the document-frequency cap are
     dropped before the self-join and excluded from both sides' set
-    sizes, so the result stays a true Jaccard of the capped sets).
+    sizes, so the result stays a true Jaccard of the capped sets);
+    ``"auto"`` applies the corpus-relative :func:`auto_doc_freq_cap`.
     Left off only for small-SF oracle parity.
     """
+    max_doc_freq = _resolve_doc_freq(df, max_doc_freq)
     sh = _exploded_shingles(df, id_col, text_col, shingle_n, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
@@ -196,15 +222,10 @@ def simhash32(text: Column) -> Column:
     )
 
 
-def dedup_simhash(
+def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """(id, simhash) fingerprints; equal fingerprints = near-dup bucket.
-
-    Hamming-≤k search at scale: permute-and-bucket on fingerprint bytes
-    (4 rotations of the 32-bit word) — collisions only, never a cross
-    join. Here we emit the fingerprint + its bucket count.
-    """
+    """(id, simhash) — one 32-bit fingerprint per non-null-text doc."""
     # Explode-and-aggregate form of simhash32: the per-token md5 is
     # materialized ONCE as a column, then 32 bit-sums aggregate map-side
     # — the single-expression form re-evaluates the digest once per bit
@@ -233,9 +254,79 @@ def dedup_simhash(
          .otherwise(F.lit(0).cast("long")) for b in range(32)),
         F.lit(0).cast("long"),
     )
-    fp = sums.select("id", fp_expr.alias("simhash"))
+    return sums.select("id", fp_expr.alias("simhash"))
+
+
+def dedup_simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash, bucket_size): equal fingerprints = near-dup bucket.
+
+    For near-dups at hamming distance > 0 use
+    :func:`simhash_hamming_pairs` — banded collision search, never a
+    cross join.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
     counts = fp.groupBy("simhash").agg(F.count("*").alias("bucket_size"))
     return fp.join(counts, "simhash").select("id", "simhash", "bucket_size")
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 2, n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ ``max_hamming`` between
+    32-bit SimHash fingerprints.
+
+    Output: (a, b, hamming) with a < b.
+
+    Pigeonhole banding gives exact recall without a cross join: the
+    fingerprint splits into ``n_bands`` disjoint bit-bands; two words
+    differing in at most ``max_hamming < n_bands`` bits must agree on at
+    least one whole band, so the band equi-join surfaces every true pair
+    and only collisions shuffle. Each candidate is then verified with an
+    exact popcount of the XOR. Same 100 TB cost model as MinHash
+    banding: shuffle ∝ collisions, bounded by band-bucket sizes — a
+    degenerate corpus (many near-identical fingerprints) degrades
+    toward its true pair count, never toward |corpus|².
+    """
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError("pigeonhole recall needs 0 <= max_hamming < n_bands")
+    if 32 % n_bands != 0:
+        raise ValueError("n_bands must divide 32")
+    bits = 32 // n_bands
+    fp = simhash_fingerprints(df, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            (F.floor(F.col("simhash") / (2 ** (b * bits))) % (2 ** bits))
+            .cast("long").alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = fp.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("band")
+    ).select(
+        "id", "simhash",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band_idx", "band_val"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            F.col("x.simhash").alias("fa"), F.col("y.simhash").alias("fb"),
+        )
+        .distinct()  # pairs agreeing on several bands collide once each
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
 
 
 def dedup_clusters(

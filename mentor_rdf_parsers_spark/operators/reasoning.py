@@ -143,5 +143,10 @@ def forward_chain(triples: DataFrame, max_iter: int = 10) -> DataFrame:
         delta = derived.join(facts, cond, "left_anti").localCheckpoint(eager=True)
         if delta.isEmpty():
             break
+        # the store is re-checkpointed per round: it is read several
+        # times per round (Δ-join branches + anti-join), so one
+        # materialization beats re-scanning a growing union-of-deltas
+        # plan (measured at sf0.1 — the union-plan variant was ~5%
+        # slower despite skipping the checkpoint write)
         facts = facts.unionByName(delta).localCheckpoint(eager=True)
     return facts

@@ -24,6 +24,11 @@ dominator b was itself dropped). Pass `exact=True` for the true greedy
 keep-first (only ids dominated by a *surviving* id are dropped; iterative
 topological peel, rounds ∝ domination-chain depth). Both modes are
 chain-behavior tested (tests/test_pipeline_operators.py).
+
+When generating the near-dup pairs, pass ``max_doc_freq="auto"`` to
+``ngram_jaccard_pairs`` / ``dedup_minhash_lsh`` — the corpus-relative
+cap (operators/dedup.py:auto_doc_freq_cap) that bounds the shingle
+self-join at web scale without emptying documents.
 """
 
 from __future__ import annotations

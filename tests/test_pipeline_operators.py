@@ -175,6 +175,52 @@ def test_dedup_simhash_null_text_dropped(spark):
     assert 2 in rows
 
 
+def test_simhash_hamming_pairs_matches_brute_force(spark):
+    """Banded hamming search = brute-force cross-join ground truth on a
+    corpus with planted near-dups (pigeonhole recall is exact, so the
+    sets must be identical, not just overlapping)."""
+    from mentor_rdf_parsers_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_hamming_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(1, base), (2, base)]  # planted exact dup -> hamming 0
+    # single-token edits: small (usually 1-3 bit) fingerprint drift
+    words = base.split()
+    for i in range(3, 40):
+        w = list(words)
+        w[i % len(w)] = f"tok{i}"
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for k in (0, 2, 3):
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in simhash_hamming_pairs(docs, max_hamming=k).collect()
+        }
+        fp = simhash_fingerprints(docs)
+        x, y = fp.alias("x"), fp.alias("y")
+        truth = {
+            (r["a"], r["b"], r["hamming"])
+            for r in x.crossJoin(y)
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+                .cast("long").alias("hamming"),
+            )
+            .where(F.col("hamming") <= k)
+            .collect()
+        }
+        assert got == truth
+        if k == 0:
+            assert (1, 2, 0) in got  # the planted exact dup
+
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, max_hamming=4, n_bands=4)
+
+
 def test_dedup_clusters_chain(spark):
     # chain pairs (1,2),(2,3),(3,4) -> one cluster keeping only 1;
     # unpaired 5 keeps itself
@@ -595,6 +641,31 @@ def test_ngram_jaccard_doc_freq_cap(spark, docs):
     lsh_hi = {(r["a"], r["b"]) for r in
               dedup_minhash_lsh(docs, min_jaccard=0.99, max_doc_freq=100).collect()}
     assert lsh_hi == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_auto_doc_freq_cap(spark, docs):
+    """max_doc_freq="auto" resolves to the corpus-relative cap —
+    identical pairs to passing auto_doc_freq_cap(n_docs) explicitly."""
+    from mentor_rdf_parsers_spark.operators.dedup import (
+        auto_doc_freq_cap,
+        ngram_jaccard_pairs,
+    )
+
+    assert auto_doc_freq_cap(500) == 3          # floor dominates
+    assert auto_doc_freq_cap(5_000) == 30       # 0.6% of corpus
+    assert auto_doc_freq_cap(1_000_000) == 6000
+
+    explicit = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(
+            docs, min_jaccard=0.5, max_doc_freq=auto_doc_freq_cap(docs.count())
+        ).collect()
+    }
+    auto = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.5, max_doc_freq="auto").collect()
+    }
+    assert auto == explicit
 
 
 def test_transitive_closure_checkpoint_dir(spark, tmp_path):
