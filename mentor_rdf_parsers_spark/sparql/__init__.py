@@ -10,11 +10,16 @@ CONSTRUCT / DESCRIBE over the engine's `triples` table, compiled to
 Spark DataFrame plans per SURVEY.md §2.B.
 """
 
+from .executor import SparqlExecutionError, execute
 from .parser import SparqlParseError, parse_sparql, resolve_codepoint_escapes
+from .updates import execute_update
 from .utils import extract_from_clause_graph_uris, selected_variables
 
 __all__ = [
+    "SparqlExecutionError",
     "SparqlParseError",
+    "execute",
+    "execute_update",
     "parse_sparql",
     "resolve_codepoint_escapes",
     "extract_from_clause_graph_uris",

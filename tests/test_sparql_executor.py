@@ -319,3 +319,45 @@ def test_describe_star(graph, monkeypatch):
     monkeypatch.undo()
     subjects = {r["s"] for r in out.collect()}
     assert {"http://ex/alice", "http://ex/bob", "http://ex/carol"} <= subjects
+
+
+def test_public_api_quickstart(spark):
+    """The README quick-start path end-to-end through the TOP-LEVEL
+    package exports: raw docs -> extract_triples -> execute(SPARQL) ->
+    DataFrame. Guards the public surface, not just the internals."""
+    from mentor_rdf_parsers_spark import (
+        execute as top_execute,
+        execute_update as top_update,
+        extract_triples as top_extract,
+        split_extract as top_split,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "doc0",
+                [("text", "<http://ex/a> <http://ex/p> <http://ex/b> .", None, 0)],
+                "ntriples",
+                None,
+            ),
+            (
+                "doc1",
+                [("text", '<http://ex/b> <http://ex/name> "Bee" .', None, 0)],
+                "ntriples",
+                None,
+            ),
+        ],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>, syntax string, expect string",
+    )
+    triples, errors = top_split(top_extract(docs))
+    assert errors.count() == 0
+    out = top_execute(
+        "SELECT ?s ?o WHERE { ?s <http://ex/p> ?o }", triples
+    ).collect()
+    assert [(r["s"], r["o"]) for r in out] == [("http://ex/a", "http://ex/b")]
+
+    after = top_update(
+        'DELETE WHERE { ?s <http://ex/name> "Bee" }', triples
+    )
+    assert after.count() == triples.count() - 1
