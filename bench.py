@@ -120,12 +120,25 @@ def main() -> None:
         bench_queries = []
     else:
         bench_queries = [q.strip() for q in env_q.split(",") if q.strip()]
+
+    # SPARK_GRAFT_QUERY_WARM>1: best-of-k per query (same steady-state
+    # rationale as SPARK_GRAFT_WARM on the extract path) — the shuffle-
+    # stage scaling runs use this so one-time costs (python worker
+    # spawn per core count, codegen) don't masquerade as poor scaling.
+    q_iters = max(int(os.environ.get("SPARK_GRAFT_QUERY_WARM", "1")), 1)
+
+    def time_query(fn) -> float:
+        best = None
+        for _ in range(q_iters):
+            t0 = time.time()
+            fn().agg(F.count("*")).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
     for name in bench_queries:
-        t0 = time.time()
         try:
-            df = qs[name](spark, sf_dir)
-            df.agg(F.count("*")).collect()
-            timings[name] = round(time.time() - t0, 3)
+            timings[name] = time_query(lambda: qs[name](spark, sf_dir))
         except Exception as exc:  # keep the bench line parseable no matter what
             timings[name] = -1.0
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
@@ -139,26 +152,32 @@ def main() -> None:
     if bench_queries:
         from mentor_rdf_parsers_spark.operators.dedup import dedup_minhash_lsh
 
-        t0 = time.time()
         try:
             docs_t = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-            dedup_minhash_lsh(
-                docs_t, "doc_id", "text", num_hashes=16, bands=4,
-                shingle_n=3, hash_fn="xxhash64",
-            ).agg(F.count("*")).collect()
-            timings["dedup_minhash_prod"] = round(time.time() - t0, 3)
+            timings["dedup_minhash_prod"] = time_query(
+                lambda: dedup_minhash_lsh(
+                    docs_t, "doc_id", "text", num_hashes=16, bands=4,
+                    shingle_n=3, hash_fn="xxhash64",
+                )
+            )
         except Exception as exc:
             timings["dedup_minhash_prod"] = -1.0
             print(f"bench query dedup_minhash_prod failed: {exc}", file=sys.stderr)
 
     # --- headline correctness: corpus P/R vs the reference golden files ---
-    try:
-        from mentor_rdf_parsers_spark.conformance import corpus_precision_recall
+    # SPARK_GRAFT_SKIP_PR=1 skips it — the scaling-efficiency runs time
+    # individual shuffle stages and don't need the conformance sweep in
+    # every subprocess invocation.
+    if os.environ.get("SPARK_GRAFT_SKIP_PR"):
+        pr = {"skipped": True}
+    else:
+        try:
+            from mentor_rdf_parsers_spark.conformance import corpus_precision_recall
 
-        pr = corpus_precision_recall(spark)
-    except Exception as exc:
-        pr = {"error": str(exc)[:200]}
-        print(f"bench P/R failed: {exc}", file=sys.stderr)
+            pr = corpus_precision_recall(spark)
+        except Exception as exc:
+            pr = {"error": str(exc)[:200]}
+            print(f"bench P/R failed: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
     out = {
