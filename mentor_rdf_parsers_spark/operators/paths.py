@@ -18,11 +18,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .canonicalize import _cut
+from .iterutil import fixed_plan
 
 
 def transitive_closure(
     edges: DataFrame, max_iter: int = 30,
     checkpoint_dir: Optional[str] = None,
+    adaptive_exec: bool = False,
 ) -> DataFrame:
     """(src, dst) → all pairs (src, dst) connected by a directed path.
 
@@ -38,19 +40,23 @@ def transitive_closure(
     """
     if checkpoint_dir:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    closure = _cut(edges.select("src", "dst").distinct(), checkpoint_dir)
-    for _ in range(max_iter):
-        new_pairs = (
-            closure.alias("a")
-            .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
-            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
-        )
-        grown = _cut(closure.union(new_pairs).distinct(), checkpoint_dir)
-        # fixpoint when no pair was added
-        if grown.count() == closure.count():
+    # AQE scoped off for the loop (iterutil.fixed_plan): the self-join
+    # round has a fixed shape, so per-round re-planning is repeated
+    # serial latency — the measured CC/minhash A/B generalizes.
+    with fixed_plan(edges.sparkSession, adaptive_exec):
+        closure = _cut(edges.select("src", "dst").distinct(), checkpoint_dir)
+        for _ in range(max_iter):
+            new_pairs = (
+                closure.alias("a")
+                .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            )
+            grown = _cut(closure.union(new_pairs).distinct(), checkpoint_dir)
+            # fixpoint when no pair was added
+            if grown.count() == closure.count():
+                closure = grown
+                break
             closure = grown
-            break
-        closure = grown
     return closure
 
 
@@ -87,6 +93,7 @@ def pagerank(
     damping: str = "0.85",
     scale: int = 18,
     checkpoint_dir: Optional[str] = None,
+    adaptive_exec: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over (src, dst) edges → (node, rank).
 
@@ -106,33 +113,35 @@ def pagerank(
 
     if checkpoint_dir:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    nodes = _cut(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct(),
-        checkpoint_dir,
-    )
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = nodes.withColumn("rank", F.lit(1).cast(dec))
-    for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(out_deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).cast(dec).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").cast(dec).alias("inflow"))
-        )
-        ranks = _cut(
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (one_minus_d + d * F.coalesce(
-                    F.col("inflow"), F.lit(0).cast(dec)
-                )).cast(dec).alias("rank"),
-            ),
+    # AQE scoped off for the fixed-shape iteration (iterutil.fixed_plan)
+    with fixed_plan(edges.sparkSession, adaptive_exec):
+        nodes = _cut(
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct(),
             checkpoint_dir,
         )
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        ranks = nodes.withColumn("rank", F.lit(1).cast(dec))
+        for _ in range(iterations):
+            contrib = (
+                edges.join(ranks, edges.src == ranks.node)
+                .join(out_deg, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).cast(dec).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").cast(dec).alias("inflow"))
+            )
+            ranks = _cut(
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (one_minus_d + d * F.coalesce(
+                        F.col("inflow"), F.lit(0).cast(dec)
+                    )).cast(dec).alias("rank"),
+                ),
+                checkpoint_dir,
+            )
     return ranks

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sparql.executor import Executor
+from .iterutil import fixed_plan
 from ..sparql.updates import _instantiate
 
 LOG_IMPLIES = "http://www.w3.org/2000/10/swap/log#implies"
@@ -100,7 +101,9 @@ def _bgp_seminaive(ex_all: Executor, ex_delta: Executor, premise: list) -> DataF
     return out
 
 
-def forward_chain(triples: DataFrame, max_iter: int = 10) -> DataFrame:
+def forward_chain(
+    triples: DataFrame, max_iter: int = 10, adaptive_exec: bool = False,
+) -> DataFrame:
     """Materialize the default graph under the document's log:implies
     rules; returns facts (original default-graph triples + derived,
     deduplicated). Semi-naive fixpoint loop bounded by max_iter: each
@@ -119,34 +122,39 @@ def forward_chain(triples: DataFrame, max_iter: int = 10) -> DataFrame:
     )
     if not rules:
         return facts
-    facts = facts.dropDuplicates(_KEY).localCheckpoint(eager=True)
-    delta = facts
-    for _ in range(max_iter):
-        ex_all = Executor(facts)
-        ex_delta = Executor(delta)
-        derived = None
-        for premise, conclusion in rules:
-            # extract_rules only emits plain (s, p, o) tuple terms
-            # (_row_term), so every premise is semi-naive-evaluable;
-            # property-path premises would need a full-evaluation
-            # fallback here if extract_rules ever surfaced them
-            bindings = _bgp_seminaive(ex_all, ex_delta, premise)
-            new = _instantiate(
-                ex_all, bindings, [(s, p, o, None) for (s, p, o) in conclusion]
-            )
-            derived = new if derived is None else derived.unionByName(new)
-        derived = derived.select(facts.columns).dropDuplicates(_KEY)
-        cond = None
-        for c in _KEY:
-            eq = derived[c].eqNullSafe(facts[c])
-            cond = eq if cond is None else cond & eq
-        delta = derived.join(facts, cond, "left_anti").localCheckpoint(eager=True)
-        if delta.isEmpty():
-            break
-        # the store is re-checkpointed per round: it is read several
-        # times per round (Δ-join branches + anti-join), so one
-        # materialization beats re-scanning a growing union-of-deltas
-        # plan (measured at sf0.1 — the union-plan variant was ~5%
-        # slower despite skipping the checkpoint write)
-        facts = facts.unionByName(delta).localCheckpoint(eager=True)
+    # AQE scoped off for the fixpoint loop (iterutil.fixed_plan): every
+    # round re-executes the same BGP-join shape, so runtime re-planning
+    # is repeated serial latency (measured on CC: 0.73 vs 0.52 scaling
+    # efficiency 2→8 cores)
+    with fixed_plan(triples.sparkSession, adaptive_exec):
+        facts = facts.dropDuplicates(_KEY).localCheckpoint(eager=True)
+        delta = facts
+        for _ in range(max_iter):
+            ex_all = Executor(facts)
+            ex_delta = Executor(delta)
+            derived = None
+            for premise, conclusion in rules:
+                # extract_rules only emits plain (s, p, o) tuple terms
+                # (_row_term), so every premise is semi-naive-evaluable;
+                # property-path premises would need a full-evaluation
+                # fallback here if extract_rules ever surfaced them
+                bindings = _bgp_seminaive(ex_all, ex_delta, premise)
+                new = _instantiate(
+                    ex_all, bindings, [(s, p, o, None) for (s, p, o) in conclusion]
+                )
+                derived = new if derived is None else derived.unionByName(new)
+            derived = derived.select(facts.columns).dropDuplicates(_KEY)
+            cond = None
+            for c in _KEY:
+                eq = derived[c].eqNullSafe(facts[c])
+                cond = eq if cond is None else cond & eq
+            delta = derived.join(facts, cond, "left_anti").localCheckpoint(eager=True)
+            if delta.isEmpty():
+                break
+            # the store is re-checkpointed per round: it is read several
+            # times per round (Δ-join branches + anti-join), so one
+            # materialization beats re-scanning a growing union-of-deltas
+            # plan (measured at sf0.1 — the union-plan variant was ~5%
+            # slower despite skipping the checkpoint write)
+            facts = facts.unionByName(delta).localCheckpoint(eager=True)
     return facts

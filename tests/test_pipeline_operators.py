@@ -675,3 +675,46 @@ def test_transitive_closure_checkpoint_dir(spark, tmp_path):
     )
     out = transitive_closure(edges, checkpoint_dir=str(tmp_path / "ckpt"))
     assert out.count() == n * (n - 1) // 2
+
+
+class TestFixedPlan:
+    """iterutil.fixed_plan: scoped AQE-off for iterative loops (r4)."""
+
+    def test_restores_session_setting(self, spark):
+        from mentor_rdf_parsers_spark.operators.iterutil import fixed_plan
+
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        with fixed_plan(spark):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    def test_restores_on_error(self, spark):
+        from mentor_rdf_parsers_spark.operators.iterutil import fixed_plan
+
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        try:
+            with fixed_plan(spark):
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    def test_escape_hatch_keeps_session_behavior(self, spark):
+        from mentor_rdf_parsers_spark.operators.iterutil import fixed_plan
+
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        with fixed_plan(spark, adaptive_exec=True):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    def test_cc_result_identical_either_way(self, spark):
+        from mentor_rdf_parsers_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (12, 11)], "src long, dst long"
+        )
+        a = sorted(map(tuple, connected_components(edges).collect()))
+        b = sorted(map(tuple, connected_components(
+            edges, adaptive_exec=True).collect()))
+        assert a == b == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)]
