@@ -151,6 +151,96 @@ def prepare(reps: int, n_edges: int) -> None:
     spark.stop()
 
 
+# --------------------------------------------------- hardware ceiling
+# Workload-matched single-box ceilings (no Spark, no JVM), same role as
+# scaling_bench.py's parse ceiling: how much does THIS box degrade from
+# N to 4N processes on a similar memory/CPU mix? No framework can
+# exceed it; on a multi-executor cluster each executor owns its memory
+# bus, so the cluster ceiling is ~1.0.
+
+_TEXTS: list = []
+
+
+def _load_texts():
+    # Pool initializer: each worker loads its own copy — shipping text
+    # chunks through Pool.map pickles them ALL in the single parent
+    # process, which starves 8 workers but not 2 and masquerades as a
+    # hardware ceiling (measured: 0.35 "ceiling" with parent-fed
+    # chunks, 0.8+ with worker-local data and index units)
+    import duckdb
+
+    global _TEXTS
+    _TEXTS = [
+        r[0] for r in duckdb.sql(
+            f"select text from read_parquet('{DATA}/documents.parquet/*.parquet') "
+            "where text is not null limit 200000"
+        ).fetchall()
+    ]
+
+
+def _shingle_chunk(unit) -> int:
+    # minhash map-side proxy: tokenize, 3-gram shingles, hash+min —
+    # string traffic + hashing, the same mix as the explode stage
+    k, step = unit
+    n = 0
+    for t in _TEXTS[k::step]:
+        toks = t.split()
+        mn = (1 << 62)
+        for i in range(len(toks) - 2):
+            h = hash((toks[i], toks[i + 1], toks[i + 2]))
+            if h < mn:
+                mn = h
+        n += 1
+    return n
+
+
+def _sortgroup_chunk(seed) -> int:
+    # CC round proxy: sort + group + min over int64 pairs — the
+    # bandwidth-bound core of a groupBy-min shuffle round
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 1 << 40, size=2_000_000)
+    v = rng.integers(0, 1 << 40, size=2_000_000)
+    order = np.argsort(u, kind="stable")
+    us, vs = u[order], v[order]
+    _, starts = np.unique(us, return_index=True)
+    return int(np.minimum.reduceat(vs, starts).sum() & 0x7FFFFFFF)
+
+
+def calibrate_ceiling(n: int, xn: int, samples: int = 5) -> dict:
+    """Median of per-pair efficiencies over interleaved (N, 4N) pairs —
+    the same estimator as the Spark protocol; single short pure-python
+    runs swing ±4× with host weather (measured 0.28–1.39 on identical
+    work), so a one-shot ratio is meaningless here."""
+    import multiprocessing as mp
+
+    def run(workload, units, nproc, init) -> float:
+        # index-only work units; data lives worker-local (see
+        # _load_texts) so the parent never serializes payloads
+        with mp.Pool(nproc, initializer=init) as pool:
+            pool.map(workload, units[: nproc])  # warm workers/imports
+            t0 = time.time()
+            pool.map(workload, units)
+            return time.time() - t0
+
+    out = {}
+    workloads = {
+        "shingle": (_shingle_chunk, [(i, 64) for i in range(64)], _load_texts),
+        "sortgroup": (_sortgroup_chunk, list(range(64)), None),
+    }
+    for name, (fn, units, init) in workloads.items():
+        effs = []
+        for _ in range(samples):
+            lo = run(fn, units, n, init)
+            hi = run(fn, units, xn, init)
+            effs.append((lo / hi) / (xn / n))
+        effs.sort()
+        out[name] = round(statistics.median(effs), 3)
+        out[name + "_pairs"] = [round(e, 3) for e in effs]
+    return out
+
+
 # ------------------------------------------------------------------ child
 
 def run_stage(stage: str, cpus: int, iters: int) -> None:
@@ -213,6 +303,8 @@ def child(stage: str, cpus: int, iters: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prepare", action="store_true")
+    ap.add_argument("--ceiling", action="store_true",
+                    help="measure the pure-python workload ceilings only")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--edges", type=int, default=4_000_000)
     ap.add_argument("--stage", help="(child mode) run one stage and exit")
@@ -226,6 +318,23 @@ def main() -> None:
 
     if args.prepare:
         prepare(args.reps, args.edges)
+        return
+    if args.ceiling:
+        c = calibrate_ceiling(args.n, args.xn, args.samples)
+        print(json.dumps(c))
+        stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M UTC")
+        with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(
+                f"\nWorkload-matched hardware ceilings {stamp} "
+                f"(pure python/numpy, no Spark/JVM, {args.n}→{args.xn} "
+                f"processes; median of per-pair efficiencies, "
+                f"{args.samples} interleaved pairs): shingle+hash "
+                f"{c['shingle']} (pairs {c['shingle_pairs']}), sort+group "
+                f"int64 {c['sortgroup']} (pairs {c['sortgroup_pairs']}). "
+                f"No framework exceeds its box's ceiling; a "
+                f"multi-executor cluster's is ~1.0.\n"
+            )
         return
     if args.stage:
         run_stage(args.stage, args.cpus or 8, args.iters)
