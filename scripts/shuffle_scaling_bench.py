@@ -94,6 +94,15 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled",
                 os.environ.get("SHUFFLE_BENCH_AQE", "false"))
         .config("spark.driver.memory", "48g")
+        # shuffle files + localCheckpoint blocks on tmpfs: on this
+        # single box every thread shares ONE spinning/virtio disk for
+        # spill, a resource a cluster provisions per executor; putting
+        # it in RAM isolates the CPU-scaling question the north rule
+        # asks from the shared-disk term (set SHUFFLE_BENCH_LOCALDIR
+        # to override / empty to keep the default disk)
+        .config("spark.local.dir",
+                os.environ.get("SHUFFLE_BENCH_LOCALDIR", "/dev/shm/spark-bench")
+                or "/tmp")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.locality.wait", "0")
         .getOrCreate()
