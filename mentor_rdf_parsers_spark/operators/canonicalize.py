@@ -26,10 +26,11 @@ Scale notes:
 * hub entities (a node with millions of sameAs edges) contribute each
   neighbor once (edges deduplicated first), and the star operations
   bound neighborhood growth by construction; residual skew is handled
-  explicitly by salting (materialize.with_salt). The rounds themselves
-  run with AQE scoped OFF (r4, see iterutil.fixed_plan): re-planning a
-  fixed-shape round every iteration is serial latency, measured to
-  cost 0.73→0.52 in 2→8-core scaling efficiency.
+  explicitly by salting (materialize.with_salt). AQE for the rounds is
+  auto-resolved from input size (r4, iterutil.resolve_adaptive):
+  re-planning a fixed-shape round every iteration is serial latency on
+  work-dominated inputs (0.73→0.52 in 2→8-core scaling efficiency),
+  while partition coalescing wins 3× on tiny rounds at many cores.
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .iterutil import fixed_plan
+from .iterutil import fixed_plan, resolve_adaptive
 
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
@@ -92,15 +93,18 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     checkpoint_dir: Optional[str] = None,
-    adaptive_exec: bool = False,
+    adaptive_exec: Optional[bool] = None,
 ) -> DataFrame:
     """(src:long, dst:long) undirected edges → (node:long, comp:long)
     where comp = min node id of the component.
 
-    Runs its rounds with AQE scoped off (``adaptive_exec=True`` keeps
-    the session setting): the round shape is fixed, so runtime
-    re-planning is repeated serial latency — measured 2→8-core scaling
-    efficiency 0.73 off vs 0.52 on (see operators/iterutil.py).
+    AQE for the rounds is auto-resolved from the input size
+    (``adaptive_exec``: None = auto, True/False = force): on
+    work-dominated inputs runtime re-planning is repeated serial
+    latency (measured 2→8-core scaling efficiency 0.73 off vs 0.52 on,
+    4M edges), on tiny inputs at many cores AQE's coalescing wins 3×
+    (5k edges, local[32]: 6.6–8.7 s vs 20–27 s) — see
+    operators/iterutil.py for both measurements.
 
     Alternating large-star / small-star (Kiveris et al., "Connected
     Components in MapReduce and Beyond"): converges in O(log n) rounds
@@ -117,16 +121,18 @@ def connected_components(
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    with fixed_plan(spark, adaptive_exec):
-        sym = (
-            edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-            .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        sym = _cut(sym, checkpoint_dir)
-        all_nodes = _cut(sym.select(F.col("u").alias("node")).distinct(), checkpoint_dir)
+    # one-shot prep under the session's settings; the count on the
+    # checkpointed edge set is ~free and drives the auto AQE decision
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = _cut(sym, checkpoint_dir)
+    all_nodes = _cut(sym.select(F.col("u").alias("node")).distinct(), checkpoint_dir)
 
+    with fixed_plan(spark, resolve_adaptive(spark, adaptive_exec, sym.count())):
         star = sym
         prev_sig = None
         for _ in range(max_iter):

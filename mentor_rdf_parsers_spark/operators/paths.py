@@ -18,13 +18,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .canonicalize import _cut
-from .iterutil import fixed_plan
+from .iterutil import fixed_plan, resolve_adaptive
 
 
 def transitive_closure(
     edges: DataFrame, max_iter: int = 30,
     checkpoint_dir: Optional[str] = None,
-    adaptive_exec: bool = False,
+    adaptive_exec: Optional[bool] = None,
 ) -> DataFrame:
     """(src, dst) → all pairs (src, dst) connected by a directed path.
 
@@ -40,11 +40,13 @@ def transitive_closure(
     """
     if checkpoint_dir:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    # AQE scoped off for the loop (iterutil.fixed_plan): the self-join
-    # round has a fixed shape, so per-round re-planning is repeated
-    # serial latency — the measured CC/minhash A/B generalizes.
-    with fixed_plan(edges.sparkSession, adaptive_exec):
-        closure = _cut(edges.select("src", "dst").distinct(), checkpoint_dir)
+    # AQE auto-resolved from input size (iterutil.resolve_adaptive):
+    # per-round re-planning is serial latency on work-dominated rounds,
+    # but coalescing wins on tiny rounds at many cores — both regimes
+    # measured on CC, same round shape as this loop.
+    closure = _cut(edges.select("src", "dst").distinct(), checkpoint_dir)
+    spark = edges.sparkSession
+    with fixed_plan(spark, resolve_adaptive(spark, adaptive_exec, closure.count())):
         for _ in range(max_iter):
             new_pairs = (
                 closure.alias("a")
@@ -93,7 +95,7 @@ def pagerank(
     damping: str = "0.85",
     scale: int = 18,
     checkpoint_dir: Optional[str] = None,
-    adaptive_exec: bool = False,
+    adaptive_exec: Optional[bool] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over (src, dst) edges → (node, rank).
 
@@ -113,14 +115,15 @@ def pagerank(
 
     if checkpoint_dir:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    # AQE scoped off for the fixed-shape iteration (iterutil.fixed_plan)
-    with fixed_plan(edges.sparkSession, adaptive_exec):
-        nodes = _cut(
-            edges.select(F.col("src").alias("node"))
-            .union(edges.select(F.col("dst").alias("node")))
-            .distinct(),
-            checkpoint_dir,
-        )
+    nodes = _cut(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        checkpoint_dir,
+    )
+    # AQE auto-resolved from the node count (iterutil.resolve_adaptive)
+    spark = edges.sparkSession
+    with fixed_plan(spark, resolve_adaptive(spark, adaptive_exec, nodes.count())):
         out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         ranks = nodes.withColumn("rank", F.lit(1).cast(dec))
         for _ in range(iterations):

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sparql.executor import Executor
-from .iterutil import fixed_plan
+from .iterutil import fixed_plan, resolve_adaptive
 from ..sparql.updates import _instantiate
 
 LOG_IMPLIES = "http://www.w3.org/2000/10/swap/log#implies"
@@ -102,7 +102,8 @@ def _bgp_seminaive(ex_all: Executor, ex_delta: Executor, premise: list) -> DataF
 
 
 def forward_chain(
-    triples: DataFrame, max_iter: int = 10, adaptive_exec: bool = False,
+    triples: DataFrame, max_iter: int = 10,
+    adaptive_exec: "bool | None" = None,
 ) -> DataFrame:
     """Materialize the default graph under the document's log:implies
     rules; returns facts (original default-graph triples + derived,
@@ -122,12 +123,13 @@ def forward_chain(
     )
     if not rules:
         return facts
-    # AQE scoped off for the fixpoint loop (iterutil.fixed_plan): every
-    # round re-executes the same BGP-join shape, so runtime re-planning
-    # is repeated serial latency (measured on CC: 0.73 vs 0.52 scaling
-    # efficiency 2→8 cores)
-    with fixed_plan(triples.sparkSession, adaptive_exec):
-        facts = facts.dropDuplicates(_KEY).localCheckpoint(eager=True)
+    # AQE auto-resolved from the fact count (iterutil.resolve_adaptive):
+    # every round re-executes the same BGP-join shape, so re-planning is
+    # serial latency on work-dominated rounds; coalescing wins on tiny
+    # rounds at many cores (both regimes measured, see iterutil)
+    facts = facts.dropDuplicates(_KEY).localCheckpoint(eager=True)
+    spark = triples.sparkSession
+    with fixed_plan(spark, resolve_adaptive(spark, adaptive_exec, facts.count())):
         delta = facts
         for _ in range(max_iter):
             ex_all = Executor(facts)

@@ -706,6 +706,20 @@ class TestFixedPlan:
         with fixed_plan(spark, adaptive_exec=True):
             assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
+    def test_resolve_adaptive_auto_thresholds(self, spark):
+        from mentor_rdf_parsers_spark.operators.iterutil import (
+            AUTO_FIXED_PLAN_ROWS_PER_CORE,
+            resolve_adaptive,
+        )
+
+        cores = spark.sparkContext.defaultParallelism
+        assert resolve_adaptive(spark, None, 10) is True  # tiny → keep AQE
+        assert resolve_adaptive(
+            spark, None, AUTO_FIXED_PLAN_ROWS_PER_CORE * cores + 1) is False
+        # explicit choice always wins
+        assert resolve_adaptive(spark, True, 10**12) is True
+        assert resolve_adaptive(spark, False, 10) is False
+
     def test_cc_result_identical_either_way(self, spark):
         from mentor_rdf_parsers_spark.operators.canonicalize import (
             connected_components,
