@@ -110,7 +110,8 @@ def main() -> None:
         "events_sessions",
         # on the default list since r4: the r3 single-document fact
         # funnel is gone (64 sharded N3 docs + 1 rule doc, 64-task
-        # parse; sf0.1 171.7 s -> ~148 s, parse stage itself 8 s)
+        # parse) and AQE is auto-resolved for the fixpoint rounds;
+        # sf0.1 171.7 s (r3) -> 95.3 s (r4 representative bench)
         "kg_n3_entailment",
     ]
     env_q = os.environ.get("SPARK_GRAFT_QUERIES")
