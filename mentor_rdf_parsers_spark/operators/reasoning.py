@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sparql.executor import Executor
 from .iterutil import fixed_plan, resolve_adaptive
+from .paths import transitive_closure
 from ..sparql.updates import _instantiate
 
 LOG_IMPLIES = "http://www.w3.org/2000/10/swap/log#implies"
@@ -101,9 +102,78 @@ def _bgp_seminaive(ex_all: Executor, ex_delta: Executor, premise: list) -> DataF
     return out
 
 
+def _transitive_shape(premise: list, conclusion: list):
+    """Recognize the linear-recursive (transitive-closure) rule shape
+    ``{ ?x P ?y . ?y P ?z } => { ?x P ?z }`` (premise atoms in either
+    order, constant IRI predicate P shared by all three atoms, three
+    distinct plain variables). Returns ``(P, x, z)`` or ``None``.
+
+    This is the textbook Datalog linear-rule specialization: the
+    semi-naive loop reaches the fixpoint of such a rule in O(log
+    diameter) rounds too (derived facts join derived facts), but each
+    round drags the full 9-column fact rows through two BGP joins, a
+    dedup and an anti-join; the specialized path runs path-doubling on
+    a 2-column (src, dst) term-struct DataFrame and instantiates
+    conclusions ONCE through the same ``_instantiate`` machinery, so
+    the output rows are identical by construction."""
+    if len(premise) != 2 or len(conclusion) != 1:
+        return None
+    preds = {tp[1] for tp in premise} | {conclusion[0][1]}
+    if len(preds) != 1:
+        return None
+    (pred,) = preds
+    if pred[0] != "iri":
+        return None
+    a, b = premise
+    if any(t[0] != "var" for t in (a[0], a[2], b[0], b[2])):
+        return None
+    for first, second in ((a, b), (b, a)):
+        x, y1 = first[0][1], first[2][1]
+        y2, z = second[0][1], second[2][1]
+        if y1 == y2 and len({x, y1, z}) == 3:
+            c = conclusion[0]
+            if c[0] == ("var", x) and c[2] == ("var", z):
+                return (pred, x, z)
+    return None
+
+
+def _chain_transitive(facts: DataFrame, rules: list, max_iter: int) -> DataFrame:
+    """Fast path for an all-transitive rule set: per predicate, closure
+    by path doubling over (src, dst) term structs, then one conclusion
+    instantiation. Rules over distinct predicates are independent (a
+    rule's conclusions carry its own predicate, so they can never fire
+    another predicate's rule); duplicate rules collapse."""
+    ex = Executor(facts)
+    derived = None
+    seen = set()
+    for premise, conclusion in rules:
+        pred, x, z = _transitive_shape(premise, conclusion)
+        if pred in seen:
+            continue
+        seen.add(pred)
+        edges = ex._pattern_df(("var", x), pred, ("var", z), None).select(
+            F.col(x).alias("src"), F.col(z).alias("dst")
+        )
+        closure = transitive_closure(edges, max_iter=max_iter)
+        bindings = closure.select(F.col("src").alias(x), F.col("dst").alias(z))
+        new = _instantiate(
+            ex, bindings, [(conclusion[0][0], conclusion[0][1],
+                            conclusion[0][2], None)]
+        )
+        derived = new if derived is None else derived.unionByName(new)
+    derived = derived.select(facts.columns).dropDuplicates(_KEY)
+    cond = None
+    for c in _KEY:
+        eq = derived[c].eqNullSafe(facts[c])
+        cond = eq if cond is None else cond & eq
+    delta = derived.join(facts, cond, "left_anti")
+    return facts.unionByName(delta)
+
+
 def forward_chain(
     triples: DataFrame, max_iter: int = 10,
     adaptive_exec: "bool | None" = None,
+    specialize: bool = True,
 ) -> DataFrame:
     """Materialize the default graph under the document's log:implies
     rules; returns facts (original default-graph triples + derived,
@@ -123,6 +193,11 @@ def forward_chain(
     )
     if not rules:
         return facts
+    if specialize and all(
+        _transitive_shape(p, c) is not None for (p, c) in rules
+    ):
+        facts = facts.dropDuplicates(_KEY).localCheckpoint(eager=True)
+        return _chain_transitive(facts, rules, max_iter)
     # AQE auto-resolved from the fact count (iterutil.resolve_adaptive):
     # every round re-executes the same BGP-join shape, so re-planning is
     # serial latency on work-dominated rounds; coalescing wins on tiny

@@ -64,3 +64,55 @@ def test_existential_rule_skipped(spark):
     # ?somethingNew appears... in premise? no → rule skipped, no crash
     out = forward_chain(t)
     assert out.where(F.col("o") == "http://ex/Ghost").count() == 0
+
+
+def _rows(df):
+    key = ["s_kind", "s", "p", "o_kind", "o", "o_lang", "o_dt"]
+    return sorted(tuple(r[c] for c in key) for r in df.collect())
+
+
+def test_transitive_fast_path_equals_generic(spark):
+    t = _facts(spark, """@prefix : <http://ex/> .
+:a :anc :b . :b :anc :c . :c :anc :d . :d :anc :e .
+:p :sub :q . :q :sub :r .
+{ ?x :anc ?y . ?y :anc ?z } => { ?x :anc ?z } .
+{ ?u :sub ?v . ?v :sub ?w } => { ?u :sub ?w } .
+""")
+    fast = forward_chain(t)                      # all-transitive → fast path
+    slow = forward_chain(t, specialize=False)    # generic semi-naive
+    assert _rows(fast) == _rows(slow)
+    # the :anc closure over a 4-edge chain is 10 ordered pairs
+    assert fast.where(F.col("p") == "http://ex/anc").count() == 10
+    assert fast.where(F.col("p") == "http://ex/sub").count() == 3
+
+
+def test_mixed_rule_set_falls_back_to_generic(spark):
+    t = _facts(spark, """@prefix : <http://ex/> .
+:a :anc :b . :b :anc :c .
+:a a :Person .
+{ ?x :anc ?y . ?y :anc ?z } => { ?x :anc ?z } .
+{ ?s a :Person } => { ?s a :Agent } .
+""")
+    out = forward_chain(t)  # non-transitive rule present → generic loop
+    pairs = {(r["s"], r["o"]) for r in out.where(F.col("p") == "http://ex/anc").collect()}
+    assert ("http://ex/a", "http://ex/c") in pairs
+    assert out.where(F.col("o") == "http://ex/Agent").count() == 1
+
+
+def test_transitive_shape_rejects_non_transitive():
+    from mentor_rdf_parsers_spark.operators.reasoning import _transitive_shape
+
+    P = ("iri", "http://ex/p")
+    Q = ("iri", "http://ex/q")
+    x, y, z = ("var", "x"), ("var", "y"), ("var", "z")
+    assert _transitive_shape([(x, P, y), (y, P, z)], [(x, P, z)]) == (P, "x", "z")
+    # reversed premise order accepted
+    assert _transitive_shape([(y, P, z), (x, P, y)], [(x, P, z)]) == (P, "x", "z")
+    # different predicate in conclusion → no
+    assert _transitive_shape([(x, P, y), (y, P, z)], [(x, Q, z)]) is None
+    # swapped conclusion vars (z, P, x) → no
+    assert _transitive_shape([(x, P, y), (y, P, z)], [(z, P, x)]) is None
+    # shared var missing → no
+    assert _transitive_shape([(x, P, y), (z, P, y)], [(x, P, z)]) is None
+    # constant in premise subject → no
+    assert _transitive_shape([(("iri", "http://ex/a"), P, y), (y, P, z)], [(x, P, z)]) is None
