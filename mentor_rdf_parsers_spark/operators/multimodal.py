@@ -1,10 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape,
-`mapInPandas` signatures) is real and tested; the actual codec calls are
-STUBBED behind deterministic fakes because the decode libraries (PIL,
-ffmpeg, torchaudio, …) are not in this container — each fake is clearly
-marked and raises `NotImplementedError` when `strict_codecs=True`.
+`mapInPandas` signatures) is real and tested. The codec layer is split
+(r4): **PNG decodes for real** — a pure-stdlib zlib codec
+(functions/png.py), no PIL needed — so PNG payloads get true
+dimensions, classical pixel features, and genuine nearest-neighbor
+thumbnails re-encoded as PNG. Formats whose codecs require external
+libraries (JPEG, video containers, audio) remain STUBBED behind
+deterministic fakes — each fake is clearly marked, and
+`strict_codecs=True` raises `NotImplementedError` up front to signal
+that the general-purpose codec layer (beyond PNG) is absent.
 
 At 100 TB the rules encoded here are:
 * media bytes travel as a `binary` column — never base64 strings, never
@@ -63,11 +68,51 @@ FRAME = StructType(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """STUB: deterministic fake for image decode (no PIL in container).
-    Derives a stable (width, height) from the byte digest so tests are
-    reproducible. Replace body with `PIL.Image.open(io.BytesIO(...))`."""
+    """STUB: deterministic fake for non-PNG image decode (no PIL in
+    container). Derives a stable (width, height) from the byte digest so
+    tests are reproducible. Replace body with
+    `PIL.Image.open(io.BytesIO(...))`."""
     h = hashlib.sha256(payload or b"").digest()
     return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def _try_decode_png(payload: bytes):
+    """REAL decode for PNG payloads (functions/png.py — stdlib zlib, no
+    external codec). Returns the pixel array or None for non-PNG /
+    unsupported-variant bytes (those fall through to the fake)."""
+    from ..functions import png
+
+    if not png.is_png(payload):
+        return None
+    try:
+        return png.decode_png(payload)
+    except (NotImplementedError, ValueError):
+        return None  # 16-bit / interlaced / corrupt → stub path
+
+
+def _png_features(arr, dim: int) -> list[float]:
+    """Classical pixel features for REAL decodes (learned embeddings are
+    a model call and stay out of scope): luminance mean/std, 2×2 grid of
+    luminance means, aspect ratio, channel count — all scaled to [-1, 1],
+    padded/truncated to ``dim``."""
+    import numpy as np
+
+    a = arr.astype("float32")
+    lum = a.mean(axis=2) / 255.0
+    h, w = lum.shape
+    grid = [
+        float(lum[i * h // 2:(i + 1) * h // 2, j * w // 2:(j + 1) * w // 2].mean())
+        for i in range(2) for j in range(2)
+        if lum[i * h // 2:(i + 1) * h // 2, j * w // 2:(j + 1) * w // 2].size
+    ] or [float(lum.mean())] * 4
+    feats = [
+        float(lum.mean()) * 2 - 1,
+        float(lum.std()) * 2 - 1,
+        *[g * 2 - 1 for g in (grid + grid)[:4]],
+        float(np.tanh(w / max(h, 1) - 1.0)),
+        arr.shape[2] / 4.0 * 2 - 1,
+    ]
+    return (feats + [0.0] * dim)[:dim]
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -82,12 +127,16 @@ def decode_images(
 ) -> DataFrame:
     """media(kind='image') → IMAGE_META via mapInPandas.
 
-    `strict_codecs=True` surfaces the stub as NotImplementedError (for
-    environments where a real codec is expected)."""
+    PNG payloads decode for REAL (true width/height, classical pixel
+    features); other formats use the deterministic fake.
+    `strict_codecs=True` raises NotImplementedError up front (for
+    environments where general-purpose codecs beyond PNG are
+    required)."""
     if strict_codecs:
         raise NotImplementedError(
-            "image decode requires PIL/torchvision — not present in this "
-            "container; plumbing is exercised with the deterministic fake"
+            "general image decode requires PIL/torchvision — not present "
+            "in this container; PNG decodes natively, other formats use "
+            "the deterministic fake"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,13 +144,19 @@ def decode_images(
             out = {k: [] for k in ("media_id", "width", "height", "n_bytes", "sha", "features")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                w, h = _fake_decode(b)
+                arr = _try_decode_png(b)
+                if arr is not None:
+                    h, w = arr.shape[:2]
+                    feats = _png_features(arr, feature_dim)
+                else:
+                    w, h = _fake_decode(b)
+                    feats = _fake_features(b, feature_dim)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_bytes"].append(len(b))
                 out["sha"].append(hashlib.sha256(b).hexdigest())
-                out["features"].append(_fake_features(b, feature_dim))
+                out["features"].append(feats)
             yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "image").mapInPandas(fn, schema=IMAGE_META)
@@ -164,34 +219,44 @@ def resize_images(
     """media(kind='image') → aspect-fit resized rows via mapInPandas.
 
     The aspect-fit arithmetic (scale = min(tw/w, th/h), never upscale)
-    is real; the pixel resample is the STUB part — the output payload is
-    a deterministic digest-derived stand-in sized ∝ out_w·out_h, so
-    downstream batch-shape/size accounting behaves like a real thumbnail
-    stage. Replace the payload line with `PIL.Image.resize` when codecs
-    exist."""
+    is real for every format. PNG payloads get a REAL thumbnail:
+    decode → nearest-neighbor resample → re-encode as PNG
+    (functions/png.py). Non-PNG payloads keep the digest-derived
+    stand-in payload sized ∝ out_w·out_h so downstream batch-shape
+    accounting behaves like a real thumbnail stage."""
     if strict_codecs:
         raise NotImplementedError(
-            "image resize requires PIL — not present in this container"
+            "general image resize requires PIL — not present in this "
+            "container; PNG resizes natively"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png
+
         for pdf in batches:
             out = {k: [] for k in
                    ("media_id", "src_width", "src_height", "width", "height", "payload")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                w, h = _fake_decode(b)
+                arr = _try_decode_png(b)
+                if arr is not None:
+                    h, w = arr.shape[:2]
+                else:
+                    w, h = _fake_decode(b)
                 scale = min(target_w / w, target_h / h, 1.0)
                 ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
-                seed = hashlib.sha256(b"resize:%d:%d:" % (ow, oh) + b).digest()
-                n_out = max(1, (ow * oh) // 64)
-                fake = (seed * (n_out // len(seed) + 1))[:n_out]
+                if arr is not None:
+                    thumb = png.encode_png(png.resize_nearest(arr, ow, oh))
+                else:
+                    seed = hashlib.sha256(b"resize:%d:%d:" % (ow, oh) + b).digest()
+                    n_out = max(1, (ow * oh) // 64)
+                    thumb = (seed * (n_out // len(seed) + 1))[:n_out]
                 out["media_id"].append(mid)
                 out["src_width"].append(w)
                 out["src_height"].append(h)
                 out["width"].append(ow)
                 out["height"].append(oh)
-                out["payload"].append(fake)
+                out["payload"].append(thumb)
             yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "image").mapInPandas(fn, schema=RESIZED)
