@@ -262,18 +262,73 @@ def resize_images(
     return media.where(F.col("kind") == "image").mapInPandas(fn, schema=RESIZED)
 
 
+def _try_decode_wav(payload: bytes):
+    """REAL decode for PCM WAV payloads (stdlib ``wave`` — the RIFF/WAVE
+    container needs no external codec). Returns ``(duration_ms,
+    samples: float32 ndarray in [-1, 1], rate)`` or None for non-WAV /
+    compressed-WAV bytes (those fall through to the fake)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            frames = w.readframes(n)
+    except Exception:
+        return None  # non-PCM / truncated → stub path
+    if width == 2:
+        s = np.frombuffer(frames, dtype="<i2").astype("float32") / 32768.0
+    elif width == 1:
+        s = (np.frombuffer(frames, dtype="u1").astype("float32") - 128.0) / 128.0
+    else:
+        return None  # 24/32-bit exotic widths → stub path
+    return (int(n * 1000 / max(rate, 1)), s, rate)
+
+
+def _wav_features(samples, dim: int) -> list[float]:
+    """Classical audio features for REAL decodes: RMS, zero-crossing
+    rate, and log-spaced FFT band energies — all in [-1, 1], padded /
+    truncated to ``dim``. (MFCC-grade features are a model/DSP-library
+    call and stay out of scope.)"""
+    import numpy as np
+
+    if samples.size == 0:
+        return [0.0] * dim
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples)))))
+    spec = np.abs(np.fft.rfft(samples[: 1 << 14])) ** 2
+    total = float(spec.sum()) or 1.0
+    edges = np.unique(np.geomspace(1, max(len(spec) - 1, 1), 5).astype(int))
+    bands = [float(spec[a:b].sum()) / total
+             for a, b in zip(edges[:-1], edges[1:])]
+    feats = [rms * 2 - 1, zcr * 2 - 1, *[b * 2 - 1 for b in (bands + [0.0] * 4)[:4]],
+             float(np.tanh(samples.size / 1e6)), float(np.tanh(samples.mean() * 10))]
+    return (feats + [0.0] * dim)[:dim]
+
+
 def extract_audio_features(
     media: DataFrame, feature_dim: int = 8, bytes_per_ms: int = 16,
     strict_codecs: bool = False,
 ) -> DataFrame:
     """media(kind='audio') → AUDIO_META via mapInPandas.
 
-    Duration is derived from the byte length at a nominal constant
-    bitrate (real impl reads the container header); the MFCC-ish feature
-    vector is the STUB (sha256-derived floats, like the image fake)."""
+    PCM WAV payloads decode for REAL (stdlib ``wave``): true duration
+    from the container header, classical features (RMS, zero-crossing
+    rate, FFT band energies) from the actual samples. Compressed
+    formats (MP3/AAC/opus) keep the deterministic fake — their codecs
+    genuinely need ffmpeg; for those, duration is byte length at a
+    nominal constant bitrate and features are sha256-derived."""
     if strict_codecs:
         raise NotImplementedError(
-            "audio decode requires ffmpeg/torchaudio — stubbed here"
+            "general audio decode requires ffmpeg/torchaudio — not present "
+            "in this container; PCM WAV decodes natively, other formats "
+            "use the deterministic fake"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -282,11 +337,18 @@ def extract_audio_features(
                    ("media_id", "duration_ms", "n_bytes", "sha", "features")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
+                wav = _try_decode_wav(b)
+                if wav is not None:
+                    dur, samples, _rate = wav
+                    feats = _wav_features(samples, feature_dim)
+                else:
+                    dur = len(b) // max(bytes_per_ms, 1)
+                    feats = _fake_features(b, feature_dim)
                 out["media_id"].append(mid)
-                out["duration_ms"].append(len(b) // max(bytes_per_ms, 1))
+                out["duration_ms"].append(dur)
                 out["n_bytes"].append(len(b))
                 out["sha"].append(hashlib.sha256(b).hexdigest())
-                out["features"].append(_fake_features(b, feature_dim))
+                out["features"].append(feats)
             yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "audio").mapInPandas(fn, schema=AUDIO_META)

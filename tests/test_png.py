@@ -104,3 +104,45 @@ def test_decode_images_real_png_path(spark):
     assert (arr == resize_nearest(img, 24, 12)).all()
     # non-PNG thumbnail stays the digest stand-in (not PNG bytes)
     assert not is_png(bytes(thumbs["blob1"]["payload"]))
+
+
+def _make_wav(freq=440.0, rate=8000, ms=500, width=2):
+    import io
+    import wave
+
+    n = rate * ms // 1000
+    t = np.arange(n) / rate
+    s = np.sin(2 * np.pi * freq * t)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            w.writeframes((s * 32767).astype("<i2").tobytes())
+        else:
+            w.writeframes(((s * 127) + 128).astype("u1").tobytes())
+    return buf.getvalue()
+
+
+def test_extract_audio_features_real_wav_path(spark):
+    from mentor_rdf_parsers_spark.operators.multimodal import (
+        MEDIA,
+        extract_audio_features,
+    )
+
+    rows = [
+        ("wav1", "audio", bytearray(_make_wav(ms=500)), "audio/wav"),
+        ("wav8", "audio", bytearray(_make_wav(ms=250, width=1)), "audio/wav"),
+        ("mp3ish", "audio", bytearray(b"\xff\xfb fake mp3 bytes" * 8), "audio/mpeg"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA)
+    meta = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    # REAL path: duration from the RIFF header, not byte-length heuristics
+    assert meta["wav1"]["duration_ms"] == 500
+    assert meta["wav8"]["duration_ms"] == 250
+    # a pure sine has substantial RMS -> feature[0] well above silence (-1)
+    assert meta["wav1"]["features"][0] > 0.0
+    # fake path: byte-length-derived duration for compressed formats
+    b = bytes(rows[2][2])
+    assert meta["mp3ish"]["duration_ms"] == len(b) // 16
