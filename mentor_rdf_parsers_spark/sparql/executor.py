@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from ..operators.paths import transitive_closure
+from ..parsing.terms import serialize_term
 from .parser import RDF_TYPE, XSD, parse_sparql
 
 TERM = StructType(
@@ -88,7 +89,89 @@ def _const_term(term) -> Column:
         # bnode in a query pattern acts as a non-projectable variable;
         # callers handle that — a *constant* bnode only appears via VALUES
         return _term_struct(F.lit("bnode"), F.lit(term[1]), F.lit(""), F.lit(""))
+    if term[0] == "tripleterm":
+        return _term_struct(
+            F.lit("tripleterm"), F.lit(serialize_term(term)), F.lit(""), F.lit("")
+        )
     raise SparqlExecutionError(f"cannot make constant from {term!r}")
+
+
+def _nt_escape_sql(v: Column) -> Column:
+    """JVM-side NT literal escaping, byte-identical to
+    parsing.terms._escape_literal (backslash replaced FIRST = the same
+    result as its single-pass regex)."""
+    out = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+    for ch, esc in (('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"),
+                    ("\t", "\\t"), ("\x08", "\\b"), ("\x0c", "\\f")):
+        out = F.replace(out, F.lit(ch), F.lit(esc))
+    return out
+
+
+def _nt_of(t: Column) -> Column:
+    """TERM struct → canonical NT 1.2 serialization (JVM-side mirror of
+    parsing.terms.serialize_term). Unbound terms yield NULL, which
+    null-propagates through the enclosing concat — TRIPLE() of an
+    unbound argument is an expression error (unbound), per spec."""
+    lit = F.concat(F.lit('"'), _nt_escape_sql(t["v"]), F.lit('"'))
+    lit = (
+        F.when(t["lang"] != "", F.concat(lit, F.lit("@"), t["lang"]))
+        .when((t["dt"] != "") & (t["dt"] != XSD + "string"),
+              F.concat(lit, F.lit("^^<"), t["dt"], F.lit(">")))
+        .otherwise(lit)
+    )
+    return (
+        F.when(t["kind"] == "iri", F.concat(F.lit("<"), t["v"], F.lit(">")))
+        .when(t["kind"] == "bnode", F.concat(F.lit("_:"), t["v"]))
+        .when(t["kind"] == "tripleterm", t["v"])
+        .when(t["kind"] == "literal", lit)
+    )
+
+
+_TERM_NULLABLE = StructType(
+    [StructField(f.name, StringType(), True) for f in TERM.fields]
+)
+
+
+def _tripleterm_component(t: Column, pos: int) -> Column:
+    """SUBJECT/PREDICATE/OBJECT over the canonical triple-term encoding:
+    an Arrow-batched UDF re-parses the stored NT string with the golden
+    parser (the encoding is defined by serialize_term; accessing a
+    component IS a parse). The only Python crossing in the executor —
+    scoped to rows where an accessor is actually evaluated; non-triple-
+    term inputs yield an all-NULL struct (unbound, per spec)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_TERM_NULLABLE)
+    def access(vals):
+        import pandas as pd
+
+        from ..parsing.golden import parse_term_string
+        from ..parsing.terms import serialize_term as ser
+
+        out = {"kind": [], "v": [], "lang": [], "dt": []}
+        for s in vals:
+            kind = v = lang = dt = None
+            if s:
+                try:
+                    term = parse_term_string(s)
+                except Exception:
+                    term = None
+                if term is not None and term[0] == "tripleterm":
+                    c = term[1][pos]
+                    if c[0] == "literal":
+                        kind, v = "literal", c[1]
+                        lang, dt = c[2] or "", c[3] or ""
+                    elif c[0] == "tripleterm":
+                        kind, v, lang, dt = "tripleterm", ser(c), "", ""
+                    else:
+                        kind, v, lang, dt = c[0], c[1], "", ""
+            out["kind"].append(kind)
+            out["v"].append(v)
+            out["lang"].append(lang)
+            out["dt"].append(dt)
+        return pd.DataFrame(out)
+
+    return access(F.when(t["kind"] == "tripleterm", t["v"]))
 
 
 class Executor:
@@ -440,7 +523,11 @@ class Executor:
                     elif kind == "bnode":
                         vals.append(("bnode", term[1], "", ""))
                     elif kind == "tripleterm":
-                        vals.append(("tripleterm", repr(term[1]), "", ""))
+                        # canonical NT 1.2 encoding — the SAME string the
+                        # triples table stores, so VALUES-bound triple
+                        # terms join/compare against data rows (repr()
+                        # here would silently never match)
+                        vals.append(("tripleterm", serialize_term(term), "", ""))
                     else:
                         raise SparqlExecutionError(f"bad VALUES term {term!r}")
             rows.append(tuple(vals))
@@ -753,7 +840,19 @@ class Executor:
             return _term_struct(F.lit("literal"), col.cast("string"), F.lit(""),
                                 F.lit(XSD + "integer"))
         if name in ("SUBJECT", "PREDICATE", "OBJECT"):
-            raise SparqlExecutionError(f"{name}() over encoded triple terms not supported")
+            pos = {"SUBJECT": 0, "PREDICATE": 1, "OBJECT": 2}[name]
+            return _tripleterm_component(self._expr_term(args[0], df), pos)
+        if name == "TRIPLE":
+            # constructor: canonical NT 1.2 encoding built JVM-side, byte-
+            # identical to parsing.terms.serialize_term so constructed
+            # terms join/compare against table-sourced triple terms
+            s, p, o = (self._expr_term(a, df) for a in args[:3])
+            return _term_struct(
+                F.lit("tripleterm"),
+                F.concat(F.lit("<<( "), _nt_of(s), F.lit(" "), _nt_of(p),
+                         F.lit(" "), _nt_of(o), F.lit(" )>>")),
+                F.lit(""), F.lit(""),
+            )
         raise SparqlExecutionError(f"unsupported builtin {name}")
 
     # ---------------------------------------------------------- aggregates

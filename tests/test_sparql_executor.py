@@ -361,3 +361,80 @@ def test_public_api_quickstart(spark):
         'DELETE WHERE { ?s <http://ex/name> "Bee" }', triples
     )
     assert after.count() == triples.count() - 1
+
+
+class TestTripleTermBuiltins:
+    """SPARQL 1.2 triple-term builtins over the canonical encoding (r4 —
+    previously an explicit reject): SUBJECT/PREDICATE/OBJECT re-parse
+    the stored NT string (golden parser, Arrow-batched); TRIPLE()
+    serializes JVM-side byte-identically to parsing.terms.serialize_term
+    so constructed terms join against table-sourced ones."""
+
+    @staticmethod
+    def _triples(spark):
+        from mentor_rdf_parsers_spark.operators.extract import (
+            extract_triples,
+            split_extract,
+        )
+        from mentor_rdf_parsers_spark.schemas import DOCUMENTS
+
+        ttl = """@prefix : <http://ex/> .
+:a :says <<( :b :likes "ca\\"ke\\n"@en )>> .
+:c :says <<( :d :likes <<( :e :knows :f )>> )>> .
+:g :plain :h .
+"""
+        docs = spark.createDataFrame(
+            [("d.ttl", [("text", ttl, None, 0)], "turtle", None)], DOCUMENTS)
+        triples, errors = split_extract(extract_triples(docs, skolemize=False))
+        assert errors.count() == 0
+        return triples
+
+    def test_accessors(self, spark):
+        from mentor_rdf_parsers_spark.sparql.executor import execute
+
+        out = execute(
+            """SELECT ?s ?p ?o WHERE { <http://ex/a> <http://ex/says> ?t .
+               BIND(SUBJECT(?t) AS ?s) BIND(PREDICATE(?t) AS ?p)
+               BIND(OBJECT(?t) AS ?o) }""",
+            self._triples(spark)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["s"] == "http://ex/b" and r["p"] == "http://ex/likes"
+        assert r["o"] == 'ca"ke\n'  # literal value round-trips the escaping
+
+    def test_nested_object_is_tripleterm(self, spark):
+        from mentor_rdf_parsers_spark.sparql.executor import execute
+
+        out = execute(
+            """SELECT ?o WHERE { <http://ex/c> <http://ex/says> ?t .
+               BIND(OBJECT(?t) AS ?o) FILTER(isTRIPLE(?o)) }""",
+            self._triples(spark)).collect()
+        assert len(out) == 1
+        assert out[0]["o"] == "<<( <http://ex/e> <http://ex/knows> <http://ex/f> )>>"
+
+    def test_triple_constructor_joins_against_data(self, spark):
+        from mentor_rdf_parsers_spark.sparql.executor import execute
+
+        out = execute(
+            """SELECT ?x WHERE { ?x <http://ex/says> ?t .
+               FILTER(?t = TRIPLE(<http://ex/b>, <http://ex/likes>, "ca\\"ke\\n"@en)) }""",
+            self._triples(spark)).collect()
+        assert [r["x"] for r in out] == ["http://ex/a"]
+
+    def test_accessor_of_non_tripleterm_is_unbound(self, spark):
+        from mentor_rdf_parsers_spark.sparql.executor import execute
+
+        out = execute(
+            """SELECT ?s WHERE { <http://ex/g> <http://ex/plain> ?v .
+               BIND(SUBJECT(?v) AS ?s) }""",
+            self._triples(spark)).collect()
+        assert len(out) == 1 and out[0]["s"] is None
+
+    def test_values_tripleterm_matches_table_rows(self, spark):
+        from mentor_rdf_parsers_spark.sparql.executor import execute
+
+        out = execute(
+            """SELECT ?x WHERE { ?x <http://ex/says> ?t .
+               VALUES ?t { <<( <http://ex/b> <http://ex/likes> "ca\\"ke\\n"@en )>> } }""",
+            self._triples(spark)).collect()
+        assert [r["x"] for r in out] == ["http://ex/a"]
