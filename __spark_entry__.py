@@ -322,16 +322,22 @@ def q_dedup_capped(spark, sf_dir):
     LSH-banded-then-verified pairs, both under the corpus-relative
     ``max_doc_freq="auto"`` cap a 100 TB run needs (bounds the shingle
     self-join at Σdf² over surviving shingles)."""
-    from mentor_rdf_parsers_spark.operators.dedup import dedup_minhash_lsh
+    from mentor_rdf_parsers_spark.operators.dedup import (
+        auto_doc_freq_cap,
+        dedup_minhash_lsh,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    ngram = ngram_jaccard_pairs(docs, min_jaccard=0.5, max_doc_freq="auto").select(
+    # resolve the auto cap ONCE — passing "auto" to both operators would
+    # run two redundant full count jobs per query execution
+    df_cap = auto_doc_freq_cap(docs.count())
+    ngram = ngram_jaccard_pairs(docs, min_jaccard=0.5, max_doc_freq=df_cap).select(
         F.lit("ngram").alias("method"), "a", "b",
         F.round("jaccard", 6).alias("jaccard"),
     )
     mh = dedup_minhash_lsh(
         docs, num_hashes=16, bands=4, shingle_n=3,
-        min_jaccard=0.5, hash_fn="md5", max_doc_freq="auto",
+        min_jaccard=0.5, hash_fn="md5", max_doc_freq=df_cap,
     ).select(
         F.lit("minhash").alias("method"), "a", "b",
         F.round("jaccard", 6).alias("jaccard"),

@@ -14,10 +14,16 @@ Rejected with a clear error: 1/2/4/16-bit depths and Adam7 interlace
 
 Decode cost model: zlib inflate is C-speed; unfiltering is numpy row
 arithmetic — filter types 0 (None) and 2 (Up) vectorize over the whole
-row, types 1/3/4 (Sub/Average/Paeth) need the reconstructed left
-neighbor so they run a per-pixel-column loop. Encoding always emits
-filter 0 rows (fast, simple); a ``filter_type`` knob exists so tests
-can exercise every decoder branch.
+row, and type 1 (Sub) is a per-channel cumsum mod 256 (also fully
+vectorized). Types 3/4 (Average/Paeth) have a genuine sequential
+recurrence on the reconstructed left pixel, so they loop once per
+PIXEL column (vectorized across channels) — O(width) Python iterations
+per such row, not O(width·channels) per byte. Practical ceiling: a
+megapixel photo whose every row is Paeth costs ~10⁶ loop iterations
+per image; acceptable in an Arrow-batched executor task, but this
+codec targets fixture/thumbnail-scale assets, not bulk photographic
+re-encode. Encoding always emits filter 0 rows (fast, simple); a
+``filter_type`` knob exists so tests can exercise every decoder branch.
 """
 
 from __future__ import annotations
@@ -103,18 +109,37 @@ def decode_png(data: bytes) -> np.ndarray:
             rec = line
         elif ftype == 2:  # Up — vectorizes fully
             rec = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left neighbor
-            rec = line.copy()
-            for i in range(stride):
-                a = rec[i - ch] if i >= ch else 0
-                b = prev[i]
-                if ftype == 1:
-                    rec[i] = (rec[i] + a) & 0xFF
-                elif ftype == 3:
-                    rec[i] = (rec[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 1:
+            # Sub: rec[i] = (line[i] + rec[i-ch]) mod 256 — a running
+            # sum per channel, i.e. cumsum mod 256 down each channel
+            # column (int64 accumulator: no overflow below ~3.6e16 px)
+            rec = (
+                np.cumsum(line.reshape(width, ch), axis=0, dtype=np.int64)
+                & 0xFF
+            ).reshape(stride).astype(np.int32)
+        elif ftype in (3, 4):
+            # Average/Paeth: genuine recurrence on the reconstructed
+            # left PIXEL — loop per pixel column, vectorized across
+            # channels (b and c come from the already-known prev row)
+            lp = line.reshape(width, ch)
+            pv = prev.reshape(width, ch)
+            rec2 = np.empty((width, ch), dtype=np.int32)
+            a = np.zeros(ch, dtype=np.int32)
+            c = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                b = pv[x]
+                if ftype == 3:
+                    a = (lp[x] + ((a + b) >> 1)) & 0xFF
                 else:
-                    c = prev[i - ch] if i >= ch else 0
-                    rec[i] = (rec[i] + _paeth(int(a), int(b), int(c))) & 0xFF
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    a = (lp[x] + pred) & 0xFF
+                    c = b
+                rec2[x] = a
+            rec = rec2.reshape(stride)
         else:
             raise ValueError(f"PNG filter type {ftype} invalid")
         out[y] = rec

@@ -50,8 +50,15 @@ def _resolve_doc_freq(
     df: DataFrame, max_doc_freq: "int | str | None"
 ) -> Optional[int]:
     """``"auto"`` → :func:`auto_doc_freq_cap` of the corpus size (one
-    count job — trivial next to the shingle self-join it bounds)."""
-    if max_doc_freq == "auto":
+    count job — trivial next to the shingle self-join it bounds).
+    Any other string is rejected at the API boundary — passed through it
+    would surface later as an opaque Spark type error mid-plan."""
+    if isinstance(max_doc_freq, str):
+        if max_doc_freq != "auto":
+            raise ValueError(
+                f"max_doc_freq must be an int, None, or 'auto' "
+                f"(got {max_doc_freq!r})"
+            )
         return auto_doc_freq_cap(df.count())
     return max_doc_freq
 

@@ -31,6 +31,11 @@ LOG_IMPLIES = "http://www.w3.org/2000/10/swap/log#implies"
 
 _KEY = ["s_kind", "s", "p", "o_kind", "o", "o_lang", "o_dt"]
 
+# Observability: which execution path the most recent forward_chain call
+# took (benches read this after timing so the attested number provably
+# ran the path it claims — {"used_specialization": bool, "rules": int}).
+LAST_RUN_INFO: dict = {}
+
 
 def _row_term(kind: str, v: str, lang=None, dt=None):
     if kind == "var":
@@ -183,6 +188,7 @@ def forward_chain(
     The frontier is `derived ANTI-JOIN facts` with null-safe equality
     (o_lang/o_dt/g are nullable — a plain anti-join would never match
     null keys and the loop would not terminate)."""
+    global LAST_RUN_INFO
     rules = [
         (p, c) for (p, c) in extract_rules(triples)
         if _vars_of(c) <= _vars_of(p)  # no existentials in conclusions
@@ -192,12 +198,15 @@ def forward_chain(
         & (F.col("s_kind") != "var") & (F.col("o_kind") != "var")
     )
     if not rules:
+        LAST_RUN_INFO = {"used_specialization": False, "rules": 0}
         return facts
     if specialize and all(
         _transitive_shape(p, c) is not None for (p, c) in rules
     ):
+        LAST_RUN_INFO = {"used_specialization": True, "rules": len(rules)}
         facts = facts.dropDuplicates(_KEY).localCheckpoint(eager=True)
         return _chain_transitive(facts, rules, max_iter)
+    LAST_RUN_INFO = {"used_specialization": False, "rules": len(rules)}
     # AQE auto-resolved from the fact count (iterutil.resolve_adaptive):
     # every round re-executes the same BGP-join shape, so re-planning is
     # serial latency on work-dominated rounds; coalescing wins on tiny

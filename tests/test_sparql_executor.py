@@ -365,10 +365,11 @@ def test_public_api_quickstart(spark):
 
 class TestTripleTermBuiltins:
     """SPARQL 1.2 triple-term builtins over the canonical encoding (r4 —
-    previously an explicit reject): SUBJECT/PREDICATE/OBJECT re-parse
-    the stored NT string (golden parser, Arrow-batched); TRIPLE()
-    serializes JVM-side byte-identically to parsing.terms.serialize_term
-    so constructed terms join against table-sourced ones."""
+    previously an explicit reject): SUBJECT/PREDICATE/OBJECT decompose
+    the stored NT string fully JVM-side (r5 — regexp + length-arithmetic
+    substring, no Python crossing); TRIPLE() serializes JVM-side
+    byte-identically to parsing.terms.serialize_term so constructed
+    terms join against table-sourced ones."""
 
     @staticmethod
     def _triples(spark):
@@ -438,3 +439,71 @@ class TestTripleTermBuiltins:
                VALUES ?t { <<( <http://ex/b> <http://ex/likes> "ca\\"ke\\n"@en )>> } }""",
             self._triples(spark)).collect()
         assert [r["x"] for r in out] == ["http://ex/a"]
+
+    def test_triple_constructor_unbound_arg_is_unbound(self, spark):
+        """TRIPLE() with an unbound argument is an expression error per
+        SPARQL 1.2 → the BIND target stays UNBOUND (whole-struct NULL),
+        so BOUND(?t) is false and the projected cell is empty — not a
+        half-bound kind='tripleterm' shell (r5 fix)."""
+        from mentor_rdf_parsers_spark.sparql.executor import execute
+
+        out = execute(
+            """SELECT ?x ?t WHERE { ?x <http://ex/plain> ?o .
+               OPTIONAL { ?x <http://ex/nope> ?missing }
+               BIND(TRIPLE(?x, <http://ex/p>, ?missing) AS ?t)
+               FILTER(!BOUND(?t)) }""",
+            self._triples(spark)).collect()
+        assert len(out) == 1
+        assert out[0]["t"] is None
+
+    def test_accessor_chain_on_nested_term(self, spark):
+        """SUBJECT(OBJECT(?t)) recurses at the expression level — the
+        nested term passes through as its canonical encoding and is
+        decomposed again, all JVM-side."""
+        from mentor_rdf_parsers_spark.sparql.executor import execute
+
+        out = execute(
+            """SELECT ?s WHERE { <http://ex/c> <http://ex/says> ?t .
+               BIND(SUBJECT(OBJECT(?t)) AS ?s) }""",
+            self._triples(spark)).collect()
+        assert [r["s"] for r in out] == ["http://ex/e"]
+
+    def test_accessor_unescape_is_order_safe(self, spark):
+        """A literal object whose VALUE is backslash+n (two chars, not a
+        newline) serializes as \\\\n — the accessor must round-trip it to
+        backslash+n, the case naive sequential replaces corrupt."""
+        from mentor_rdf_parsers_spark.operators.extract import (
+            extract_triples,
+            split_extract,
+        )
+        from mentor_rdf_parsers_spark.schemas import DOCUMENTS
+        from mentor_rdf_parsers_spark.sparql.executor import execute
+
+        # Turtle source: "\\n" = backslash+n; "\n" = newline
+        ttl = ('@prefix : <http://ex/> .\n'
+               ':a :says <<( :b :p "back\\\\nslash" )>> .\n'
+               ':c :says <<( :d :p "new\\nline" )>> .\n')
+        docs = spark.createDataFrame(
+            [("d.ttl", [("text", ttl, None, 0)], "turtle", None)], DOCUMENTS)
+        triples, errors = split_extract(extract_triples(docs, skolemize=False))
+        assert errors.count() == 0
+        out = execute(
+            """SELECT ?x ?o WHERE { ?x <http://ex/says> ?t .
+               BIND(OBJECT(?t) AS ?o) }""",
+            triples).collect()
+        vals = {r["x"]: r["o"] for r in out}
+        assert vals["http://ex/a"] == "back\\nslash"
+        assert vals["http://ex/c"] == "new\nline"
+
+    def test_accessor_plan_has_no_python_stage(self, spark):
+        """VERDICT r4 ask #3 done-criterion: the physical plan for a
+        SUBJECT/OBJECT query contains no Python evaluation node — the
+        accessors stay inside whole-stage codegen."""
+        from mentor_rdf_parsers_spark.sparql.executor import execute
+
+        df = execute(
+            """SELECT ?s ?o WHERE { <http://ex/a> <http://ex/says> ?t .
+               BIND(SUBJECT(?t) AS ?s) BIND(OBJECT(?t) AS ?o) }""",
+            self._triples(spark))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
