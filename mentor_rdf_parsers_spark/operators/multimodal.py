@@ -1,15 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape,
-`mapInPandas` signatures) is real and tested. The codec layer is split
-(r4): **PNG decodes for real** — a pure-stdlib zlib codec
-(functions/png.py), no PIL needed — so PNG payloads get true
-dimensions, classical pixel features, and genuine nearest-neighbor
-thumbnails re-encoded as PNG. Formats whose codecs require external
-libraries (JPEG, video containers, audio) remain STUBBED behind
-deterministic fakes — each fake is clearly marked, and
-`strict_codecs=True` raises `NotImplementedError` up front to signal
-that the general-purpose codec layer (beyond PNG) is absent.
+`mapInPandas` signatures) is real and tested. The codec layer is split:
+**PNG (r4) and baseline JPEG (r5) decode for real** — pure-stdlib
+codecs (functions/png.py, functions/jpeg.py), no PIL needed — so those
+payloads get true dimensions, classical pixel features, and genuine
+nearest-neighbor thumbnails re-encoded as PNG. Formats whose codecs
+genuinely require external libraries (progressive JPEG, video
+containers, compressed audio) remain STUBBED behind deterministic
+fakes — each fake is clearly marked, and `strict_codecs=True` raises
+`NotImplementedError` up front to signal that the general-purpose
+codec layer (beyond PNG/baseline-JPEG/PCM-WAV) is absent.
 
 At 100 TB the rules encoded here are:
 * media bytes travel as a `binary` column — never base64 strings, never
@@ -68,26 +69,30 @@ FRAME = StructType(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """STUB: deterministic fake for non-PNG image decode (no PIL in
-    container). Derives a stable (width, height) from the byte digest so
-    tests are reproducible. Replace body with
+    """STUB: deterministic fake for image formats without a native
+    decoder (no PIL in container; PNG and baseline JPEG DO decode for
+    real — see _try_decode_image). Derives a stable (width, height)
+    from the byte digest so tests are reproducible. Replace body with
     `PIL.Image.open(io.BytesIO(...))`."""
     h = hashlib.sha256(payload or b"").digest()
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
-def _try_decode_png(payload: bytes):
-    """REAL decode for PNG payloads (functions/png.py — stdlib zlib, no
-    external codec). Returns the pixel array or None for non-PNG /
-    unsupported-variant bytes (those fall through to the fake)."""
-    from ..functions import png
+def _try_decode_image(payload: bytes):
+    """REAL decode for PNG and baseline-JPEG payloads (functions/png.py,
+    functions/jpeg.py — stdlib + numpy, no external codec). Returns the
+    pixel array or None for other formats / unsupported variants (those
+    fall through to the fake)."""
+    from ..functions import jpeg, png
 
-    if not png.is_png(payload):
-        return None
     try:
-        return png.decode_png(payload)
+        if png.is_png(payload):
+            return png.decode_png(payload)
+        if jpeg.is_jpeg(payload):
+            return jpeg.decode_jpeg(payload)
     except (NotImplementedError, ValueError):
-        return None  # 16-bit / interlaced / corrupt → stub path
+        pass  # 16-bit / interlaced / progressive / corrupt → stub path
+    return None
 
 
 def _png_features(arr, dim: int) -> list[float]:
@@ -127,16 +132,16 @@ def decode_images(
 ) -> DataFrame:
     """media(kind='image') → IMAGE_META via mapInPandas.
 
-    PNG payloads decode for REAL (true width/height, classical pixel
-    features); other formats use the deterministic fake.
-    `strict_codecs=True` raises NotImplementedError up front (for
-    environments where general-purpose codecs beyond PNG are
+    PNG and baseline-JPEG payloads decode for REAL (true width/height,
+    classical pixel features); other formats use the deterministic
+    fake. `strict_codecs=True` raises NotImplementedError up front (for
+    environments where general-purpose codecs beyond PNG/JPEG are
     required)."""
     if strict_codecs:
         raise NotImplementedError(
             "general image decode requires PIL/torchvision — not present "
-            "in this container; PNG decodes natively, other formats use "
-            "the deterministic fake"
+            "in this container; PNG and baseline JPEG decode natively, "
+            "other formats use the deterministic fake"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,7 +149,7 @@ def decode_images(
             out = {k: [] for k in ("media_id", "width", "height", "n_bytes", "sha", "features")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                arr = _try_decode_png(b)
+                arr = _try_decode_image(b)
                 if arr is not None:
                     h, w = arr.shape[:2]
                     feats = _png_features(arr, feature_dim)
@@ -219,15 +224,16 @@ def resize_images(
     """media(kind='image') → aspect-fit resized rows via mapInPandas.
 
     The aspect-fit arithmetic (scale = min(tw/w, th/h), never upscale)
-    is real for every format. PNG payloads get a REAL thumbnail:
-    decode → nearest-neighbor resample → re-encode as PNG
-    (functions/png.py). Non-PNG payloads keep the digest-derived
+    is real for every format. PNG and baseline-JPEG payloads get a REAL
+    thumbnail: decode → nearest-neighbor resample → re-encode as PNG
+    (functions/png.py, functions/jpeg.py). Other payloads keep the
+    digest-derived
     stand-in payload sized ∝ out_w·out_h so downstream batch-shape
     accounting behaves like a real thumbnail stage."""
     if strict_codecs:
         raise NotImplementedError(
             "general image resize requires PIL — not present in this "
-            "container; PNG resizes natively"
+            "container; PNG and baseline JPEG resize natively"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -238,7 +244,7 @@ def resize_images(
                    ("media_id", "src_width", "src_height", "width", "height", "payload")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                arr = _try_decode_png(b)
+                arr = _try_decode_image(b)
                 if arr is not None:
                     h, w = arr.shape[:2]
                 else:
