@@ -217,9 +217,15 @@ class Executor:
     named graphs are addressed via GRAPH.
     """
 
-    def __init__(self, triples: DataFrame, spark: Optional[SparkSession] = None):
+    def __init__(
+        self,
+        triples: DataFrame,
+        spark: Optional[SparkSession] = None,
+        services: "Optional[dict[str, DataFrame]]" = None,
+    ):
         self.triples = triples
         self.spark = spark or triples.sparkSession
+        self.services = services or {}
         self._bn = 0
 
     # ------------------------------------------------------------------ terms
@@ -539,7 +545,33 @@ class Executor:
         if t == "minus":
             raise SparqlExecutionError("MINUS must appear inside a group")
         if t == "service":
-            raise SparqlExecutionError("SERVICE (federation) is not supported")
+            # Federation-lite (r5): a SERVICE IRI resolves against the
+            # locally registered dataset map (Executor(services={iri:
+            # triples_df})) — no network, matching the engine's
+            # file-local LOAD posture. The group is evaluated against
+            # that dataset's DEFAULT graph (per spec, the remote
+            # endpoint's own dataset applies inside SERVICE) and the
+            # solutions join back like any group member. The reference
+            # is parse-only here too (src/sparql/parser.ts:1251-1259).
+            name = node["name"]
+            if name[0] == "iri" and name[1] in self.services:
+                sub = Executor(
+                    self.services[name[1]], self.spark, self.services
+                )
+                return sub._compile_pattern(node["pattern"], None)
+            if node.get("silent"):
+                # SERVICE SILENT over an unreachable endpoint yields the
+                # single empty solution (identity for the join)
+                return self.spark.range(1).select(F.lit(1).alias("__exists"))
+            if name[0] != "iri":
+                raise SparqlExecutionError(
+                    "SERVICE with a variable endpoint is not supported"
+                )
+            raise SparqlExecutionError(
+                f"SERVICE endpoint <{name[1]}> is not a registered local "
+                f"dataset (pass services={{iri: triples_df}}); remote "
+                f"federation is out of scope"
+            )
         raise SparqlExecutionError(f"unsupported pattern {t}")
 
     def _values_df(self, node) -> DataFrame:
@@ -1106,20 +1138,25 @@ def _has_agg(expr) -> bool:
 
 
 def execute(
-    query: str, triples: DataFrame, simplify: bool = True
+    query: str, triples: DataFrame, simplify: bool = True,
+    services: "Optional[dict[str, DataFrame]]" = None,
 ) -> DataFrame:
     """Parse + execute a SPARQL query over the engine triples table.
 
     With simplify=True (default), SELECT results expose one plain string
     column per variable (the term's lexical value, NULL when unbound) —
     the driver/oracle-friendly shape. simplify=False keeps the full
-    term structs (kind, v, lang, dt)."""
+    term structs (kind, v, lang, dt).
+
+    ``services`` maps SERVICE endpoint IRIs to locally registered
+    triples DataFrames (federation-lite — no network); an unregistered
+    endpoint raises unless SERVICE SILENT."""
     q = parse_sparql(query)
     if q.get("type") == "update":
         raise SparqlExecutionError(
             "updates are executed by the pipeline materializer, not execute()"
         )
-    df = Executor(triples).run(q)
+    df = Executor(triples, services=services).run(q)
     if simplify and q["form"] == "select":
         cols = []
         for name in df.columns:

@@ -495,6 +495,57 @@ class TestTripleTermBuiltins:
         assert vals["http://ex/a"] == "back\\nslash"
         assert vals["http://ex/c"] == "new\nline"
 
+    def test_service_local_federation(self, spark):
+        """r5 federation-lite: SERVICE <iri> resolves against a locally
+        registered dataset map (no network) and joins its solutions back;
+        SERVICE SILENT over an unregistered endpoint is the identity;
+        a non-silent unregistered endpoint raises."""
+        from mentor_rdf_parsers_spark.operators.extract import (
+            extract_triples,
+            split_extract,
+        )
+        from mentor_rdf_parsers_spark.schemas import DOCUMENTS
+        from mentor_rdf_parsers_spark.sparql.executor import (
+            SparqlExecutionError,
+            execute,
+        )
+
+        def triples_of(ttl):
+            docs = spark.createDataFrame(
+                [("d.ttl", [("text", ttl, None, 0)], "turtle", None)],
+                DOCUMENTS)
+            t, errors = split_extract(extract_triples(docs, skolemize=False))
+            assert errors.count() == 0
+            return t
+
+        local = triples_of(
+            "@prefix : <http://ex/> .\n:a :knows :b .\n:b :knows :c .\n")
+        remote = triples_of(
+            '@prefix : <http://ex/> .\n:b :name "Bee" .\n:c :name "Cee" .\n')
+        services = {"http://remote.example/sparql": remote}
+
+        out = execute(
+            """SELECT ?x ?n WHERE { <http://ex/a> <http://ex/knows> ?x .
+               SERVICE <http://remote.example/sparql> {
+                   ?x <http://ex/name> ?n } }""",
+            local, services=services).collect()
+        assert [(r["x"], r["n"]) for r in out] == [("http://ex/b", "Bee")]
+
+        silent = execute(
+            """SELECT ?x WHERE { <http://ex/a> <http://ex/knows> ?x .
+               SERVICE SILENT <http://nowhere.example/> {
+                   ?x <http://ex/name> ?n } }""",
+            local, services=services).collect()
+        assert [r["x"] for r in silent] == ["http://ex/b"]
+
+        import pytest as _pytest
+
+        with _pytest.raises(SparqlExecutionError, match="not a registered"):
+            execute(
+                """SELECT ?x WHERE { SERVICE <http://nowhere.example/> {
+                       ?x ?p ?o } }""",
+                local, services=services).collect()
+
     def test_accessor_plan_has_no_python_stage(self, spark):
         """VERDICT r4 ask #3 done-criterion: the physical plan for a
         SUBJECT/OBJECT query contains no Python evaluation node — the
