@@ -1,0 +1,197 @@
+"""IMA ADPCM WAV codec (pure stdlib + numpy).
+
+IMA/DVI ADPCM (WAVE format tag 0x0011) is the one genuinely *compressed*
+audio format decodable without ffmpeg: 4 bits per sample against PCM's
+16, with a published fixed-table decode algorithm (IMA "Recommended
+Practices for Enhancing Digital Audio Compatibility", 1992; same tables
+as the old stdlib ``audioop``). The stdlib ``wave`` module refuses
+non-PCM files, so this module walks the RIFF chunks itself.
+
+Gives ``operators/multimodal.py:extract_audio_features`` a REAL path for
+compressed audio: true duration from the sample count, true features
+from the decoded waveform. Mono only — stereo IMA interleaves channels
+in 4-byte groups and is rejected by name, never mis-decoded (same
+variant-rejection posture as the PNG/JPEG codecs). MP3/AAC/opus stay
+out of scope: their codecs genuinely need external libraries.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+
+_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8],
+                  dtype=np.int32)
+
+
+def _decode_nibbles(nibbles: np.ndarray, predictor: int, index: int) -> np.ndarray:
+    """Sequential IMA decode of a (n,) uint8 nibble array → int16 samples.
+    The predictor recurrence is inherently serial; the per-nibble loop is
+    plain Python over numpy scalars — fine for fixture/feature scale, and
+    the practical ceiling is documented (≈1e6 nibbles/s/core)."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    step_tab, idx_tab = _STEP, _INDEX
+    pred = int(predictor)
+    idx = int(index)
+    for i, nib in enumerate(nibbles):
+        step = int(step_tab[idx])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(idx_tab[nib])))
+        out[i] = pred
+    return out
+
+
+def _encode_nibbles(samples: np.ndarray, predictor: int, index: int):
+    """Inverse of :func:`_decode_nibbles` (standard IMA encoder: quantize
+    the prediction error against the current step)."""
+    out = np.empty(len(samples), dtype=np.uint8)
+    pred = int(predictor)
+    idx = int(index)
+    for i, s in enumerate(np.asarray(samples, dtype=np.int32)):
+        step = int(_STEP[idx])
+        delta = int(s) - pred
+        nib = 8 if delta < 0 else 0
+        if delta < 0:
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        # reconstruct exactly as the decoder will
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_INDEX[nib])))
+        out[i] = nib
+    return out, pred, idx
+
+
+def _wav_chunks(data: bytes):
+    pos = 12
+    while pos + 8 <= len(data):
+        cc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        yield cc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def is_ima_adpcm_wav(data: bytes) -> bool:
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return False
+    for cc, off, size in _wav_chunks(data):
+        if cc == b"fmt " and size >= 16:
+            (tag,) = struct.unpack_from("<H", data, off)
+            return tag == 0x0011
+    return False
+
+
+def decode_ima_wav(data: bytes):
+    """IMA ADPCM WAV bytes → (samples float32 in [-1,1], rate).
+
+    Blocks decode independently (each starts with a 4-byte state header:
+    int16 predictor, uint8 step index, reserved), so a distributed
+    decoder could even split one long recording at block boundaries."""
+    if not is_ima_adpcm_wav(data):
+        raise ValueError("not an IMA ADPCM WAV payload")
+    fmt = sound = None
+    n_declared = None
+    for cc, off, size in _wav_chunks(data):
+        if cc == b"fmt ":
+            fmt = data[off:off + size]
+        elif cc == b"data":
+            sound = data[off:off + size]
+        elif cc == b"fact" and size >= 4:
+            (n_declared,) = struct.unpack_from("<I", data, off)
+    if fmt is None or sound is None:
+        raise ValueError("IMA WAV: missing fmt/data chunk")
+    tag, channels, rate, _bps, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
+    if channels != 1:
+        raise ValueError(
+            f"IMA WAV: {channels}-channel files unsupported (mono only — "
+            f"stereo interleaves 4-byte groups per channel)")
+    if bits != 4:
+        raise ValueError(f"IMA WAV: {bits}-bit nibbles unsupported")
+    # samples-per-block from the fact chunk layout: 1 header sample +
+    # 2 per data byte
+    pieces = []
+    for b0 in range(0, len(sound), block_align):
+        block = sound[b0:b0 + block_align]
+        if len(block) < 4:
+            break
+        predictor, index = struct.unpack_from("<hB", block, 0)
+        body = np.frombuffer(block[4:], dtype=np.uint8)
+        nibbles = np.empty(len(body) * 2, dtype=np.uint8)
+        nibbles[0::2] = body & 0x0F          # low nibble first (IMA order)
+        nibbles[1::2] = body >> 4
+        pieces.append(np.array([predictor], dtype=np.int16))
+        pieces.append(_decode_nibbles(nibbles, predictor, index))
+    samples = (np.concatenate(pieces).astype(np.float32) / 32768.0
+               if pieces else np.zeros(0, dtype=np.float32))
+    if n_declared is not None:
+        samples = samples[:n_declared]  # fact chunk: trim block padding
+    return samples, rate
+
+
+def encode_ima_wav(samples: np.ndarray, rate: int = 16000,
+                   block_align: int = 256) -> bytes:
+    """float32 [-1,1] (or int16) mono samples → IMA ADPCM WAV bytes.
+    Fixture builder / round-trip partner of :func:`decode_ima_wav`."""
+    s = np.asarray(samples)
+    if s.dtype != np.int16:
+        s = np.clip(np.asarray(s, dtype=np.float64) * 32768.0, -32768, 32767
+                    ).astype(np.int16)
+    per_block = 1 + (block_align - 4) * 2
+    blocks = []
+    pred, idx = 0, 0
+    for b0 in range(0, len(s), per_block):
+        seg = s[b0:b0 + per_block]
+        pred = int(seg[0])
+        body = seg[1:]
+        if len(body) % 2:
+            body = np.concatenate([body, body[-1:]])  # pad to full byte
+        idx_start = idx  # header carries the state at block START
+        nibs, pred, idx = _encode_nibbles(body, pred, idx)
+        packed = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8).tobytes()
+        packed = packed.ljust(block_align - 4, b"\x00")
+        blocks.append(struct.pack("<hBB", int(seg[0]), idx_start, 0) + packed)
+    sound = b"".join(blocks)
+    n_samples = len(s)
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, rate,
+                      rate * block_align // per_block, block_align, 4,
+                      2, per_block)
+    fact = struct.pack("<I", n_samples)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(sound)) + sound
+            + (b"\x00" if len(sound) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -2,15 +2,15 @@
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape,
 `mapInPandas` signatures) is real and tested. The codec layer is split:
-**PNG (r4) and baseline JPEG (r5) decode for real** — pure-stdlib
-codecs (functions/png.py, functions/jpeg.py), no PIL needed — so those
-payloads get true dimensions, classical pixel features, and genuine
-nearest-neighbor thumbnails re-encoded as PNG. Formats whose codecs
-genuinely require external libraries (progressive JPEG, video
-containers, compressed audio) remain STUBBED behind deterministic
-fakes — each fake is clearly marked, and `strict_codecs=True` raises
-`NotImplementedError` up front to signal that the general-purpose
-codec layer (beyond PNG/baseline-JPEG/PCM-WAV) is absent.
+**PNG (r4), baseline JPEG (r5), MJPEG-in-AVI video (r5), PCM WAV (r4)
+and IMA-ADPCM WAV (r5) decode for real** — pure-stdlib codecs
+(functions/{png,jpeg,avi,adpcm}.py), no PIL/ffmpeg needed — so those
+payloads get true dimensions/durations, classical features, genuine
+thumbnails, and real sampled frames. Formats whose codecs genuinely
+require external libraries (progressive JPEG, mp4/webm video, MP3/AAC
+audio) remain STUBBED behind deterministic fakes — each fake is
+clearly marked, and `strict_codecs=True` raises `NotImplementedError`
+up front to signal that the general-purpose codec layer is absent.
 
 At 100 TB the rules encoded here are:
 * media bytes travel as a `binary` column — never base64 strings, never
@@ -167,24 +167,59 @@ def decode_images(
     return media.where(F.col("kind") == "image").mapInPandas(fn, schema=IMAGE_META)
 
 
+def _try_sample_avi(b: bytes, every_n: int, max_frames: int):
+    """REAL frame sampling for MJPEG-in-AVI payloads (functions/avi.py —
+    RIFF chunk walk, frames are standalone baseline JPEGs the jpeg codec
+    decodes). Returns [(source_frame_idx, jpeg_bytes)] or None for
+    non-AVI / non-MJPEG payloads (those fall through to the stub)."""
+    from ..functions import avi
+
+    if not avi.is_avi(b):
+        return None
+    try:
+        picked = []
+        for i, frame in enumerate(avi.iter_frames(b)):
+            if i % max(every_n, 1) == 0:
+                picked.append((i, frame))
+                if len(picked) >= max_frames:
+                    break
+        return picked or None
+    except ValueError:
+        return None  # non-MJPEG stream / malformed container → stub path
+
+
 def sample_frames(
     media: DataFrame, every_n: int = 10, max_frames: int = 4,
     strict_codecs: bool = False,
 ) -> DataFrame:
-    """media(kind='video') → FRAME rows (frame-sampling plumbing).
+    """media(kind='video') → FRAME rows via mapInPandas.
 
-    STUB decode: 'frames' are deterministic byte slices of the payload;
-    real impl would ffmpeg-seek inside mapInPandas. Row-per-frame output
-    keeps downstream (per-frame feature extract) embarrassingly parallel.
+    MJPEG-in-AVI payloads sample for REAL: every ``every_n``-th frame of
+    the movi list (frame_idx = source frame index), payload = the
+    frame's own JPEG bytes — directly decodable downstream by
+    functions/jpeg.py. Other containers (mp4/webm — codecs genuinely
+    need ffmpeg) keep the stub: deterministic byte slices with
+    sequential frame_idx. Row-per-frame output keeps downstream
+    (per-frame feature extract) embarrassingly parallel.
     """
     if strict_codecs:
-        raise NotImplementedError("video decode requires ffmpeg — stubbed here")
+        raise NotImplementedError(
+            "general video decode requires ffmpeg — not present in this "
+            "container; MJPEG-in-AVI samples natively, other containers "
+            "use the deterministic stub")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
+                real = _try_sample_avi(b, every_n, max_frames)
+                if real is not None:
+                    for idx, frame in real:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["payload"].append(frame)
+                    continue
                 n = min(max_frames, max(1, len(b) // max(every_n, 1)))
                 for i in range(n):
                     out["media_id"].append(mid)
@@ -297,6 +332,25 @@ def _try_decode_wav(payload: bytes):
     return (int(n * 1000 / max(rate, 1)), s, rate)
 
 
+def _try_decode_audio(payload: bytes):
+    """REAL decode for PCM WAV (stdlib ``wave``) and IMA ADPCM WAV
+    (functions/adpcm.py — the one genuinely compressed audio format with
+    a published table-driven decode that needs no external codec).
+    Returns (duration_ms, samples, rate) or None (→ stub path)."""
+    wav = _try_decode_wav(payload)
+    if wav is not None:
+        return wav
+    from ..functions import adpcm
+
+    if adpcm.is_ima_adpcm_wav(payload):
+        try:
+            samples, rate = adpcm.decode_ima_wav(payload)
+        except ValueError:
+            return None  # stereo / exotic nibble width → stub path
+        return (int(len(samples) * 1000 / max(rate, 1)), samples, rate)
+    return None
+
+
 def _wav_features(samples, dim: int) -> list[float]:
     """Classical audio features for REAL decodes: RMS, zero-crossing
     rate, and log-spaced FFT band energies — all in [-1, 1], padded /
@@ -324,17 +378,19 @@ def extract_audio_features(
 ) -> DataFrame:
     """media(kind='audio') → AUDIO_META via mapInPandas.
 
-    PCM WAV payloads decode for REAL (stdlib ``wave``): true duration
-    from the container header, classical features (RMS, zero-crossing
-    rate, FFT band energies) from the actual samples. Compressed
-    formats (MP3/AAC/opus) keep the deterministic fake — their codecs
-    genuinely need ffmpeg; for those, duration is byte length at a
-    nominal constant bitrate and features are sha256-derived."""
+    PCM WAV (stdlib ``wave``) and IMA ADPCM WAV (functions/adpcm.py —
+    a genuinely compressed format, 4 bits/sample) payloads decode for
+    REAL: true duration from the sample count, classical features (RMS,
+    zero-crossing rate, FFT band energies) from the actual samples.
+    Remaining compressed formats (MP3/AAC/opus) keep the deterministic
+    fake — their codecs genuinely need ffmpeg; for those, duration is
+    byte length at a nominal constant bitrate and features are
+    sha256-derived."""
     if strict_codecs:
         raise NotImplementedError(
             "general audio decode requires ffmpeg/torchaudio — not present "
-            "in this container; PCM WAV decodes natively, other formats "
-            "use the deterministic fake"
+            "in this container; PCM and IMA-ADPCM WAV decode natively, "
+            "other formats use the deterministic fake"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -343,7 +399,7 @@ def extract_audio_features(
                    ("media_id", "duration_ms", "n_bytes", "sha", "features")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                wav = _try_decode_wav(b)
+                wav = _try_decode_audio(b)
                 if wav is not None:
                     dur, samples, _rate = wav
                     feats = _wav_features(samples, feature_dim)
