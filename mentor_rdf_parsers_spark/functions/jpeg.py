@@ -6,11 +6,14 @@ expressible with numpy 8×8 matrix arithmetic and a bit reader. This
 closes the largest remaining multimodal stub (`multimodal._fake_decode`
 for JPEG payloads) the same way ``functions/png.py`` closed PNG.
 
-Supported: baseline/extended sequential DCT (SOF0/SOF1), 8-bit,
-1-component grayscale and 3-component YCbCr, any h/v sampling factors
-(4:4:4, 4:2:0, 4:2:2, ...), restart intervals (DRI/RSTn), multi-table
-DQT/DHT segments. Rejected with a clear error: progressive (SOF2),
-arithmetic coding (SOF9+), 12-bit precision, 4-component CMYK.
+Supported: baseline/extended sequential DCT (SOF0/SOF1) and
+progressive DCT (SOF2 — spectral selection and successive
+approximation, DC/AC first and refinement scans with EOB-run coding,
+T.81 Annex G), 8-bit, 1-component grayscale and 3-component YCbCr, any
+h/v sampling factors (4:4:4, 4:2:0, 4:2:2, ...), restart intervals
+(DRI/RSTn), multi-table DQT/DHT segments, table redefinition between
+scans. Rejected with a clear error: arithmetic coding (SOF9+), 12-bit
+precision, 4-component CMYK, hierarchical (SOF5+).
 
 Huffman and quantization tables are always read from the file's own
 DHT/DQT segments (baseline JPEG requires them to be embedded), so the
@@ -179,6 +182,96 @@ def _decode_block(bits: _Bits, dc_tab: dict, ac_tab: dict, pred: int):
     return coef, pred
 
 
+def _dc_first(bits: _Bits, dc_tab: dict, coef, pred: int, al: int) -> int:
+    """Progressive DC first scan (Ss=0, Ah=0): baseline DC difference,
+    stored point-transformed (<< Al). Returns the new predictor
+    (unshifted domain, per T.81 G.1.2.1)."""
+    t = _huff_decode(bits, dc_tab)
+    diff = _extend(bits.bits(t), t) if t else 0
+    pred += diff
+    coef[0] = pred << al
+    return pred
+
+
+def _ac_first(bits: _Bits, ac_tab: dict, coef, ss: int, se: int,
+              al: int, eobrun: int) -> int:
+    """Progressive AC first scan (T.81 G.1.2.2): run/size coding of the
+    point-transformed band Ss..Se plus EOBn end-of-band run codes
+    (r<15, s=0 → run of 2^r + extra-bits blocks whose band is all
+    zero from here on). Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1  # this block is the run's first
+                if r:
+                    eobrun += bits.bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC run past spectral band")
+            coef[k] = _extend(bits.bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine(bits: _Bits, ac_tab: dict, coef, ss: int, se: int,
+               al: int, eobrun: int) -> int:
+    """Progressive AC refinement scan (T.81 G.1.2.3): each symbol either
+    introduces a newly-nonzero ±2^Al coefficient after a run of
+    zero-history positions, or starts an EOB run; while walking, every
+    already-nonzero coefficient passed consumes one correction bit
+    (1 = increase magnitude by 2^Al). Mirrors the libjpeg
+    decode_mcu_AC_refine control flow."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r  # includes this block; tail below
+                    if r:
+                        eobrun += bits.bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: refinement symbol with size>1")
+                val = p1 if bits.bit() else m1
+            while k <= se:
+                t = int(coef[k])
+                if t != 0:
+                    if bits.bit() and (t & p1) == 0:
+                        coef[k] = t + (p1 if t >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of this block
+            t = int(coef[k])
+            if t != 0:
+                if bits.bit() and (t & p1) == 0:
+                    coef[k] = t + (p1 if t >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 # -------------------------------------------------------------- decode
 
 def _entropy_segments(data: bytes, start: int):
@@ -210,9 +303,62 @@ def _entropy_segments(data: bytes, start: int):
     return segs, i
 
 
+def _run_scan(segs, scan, comps, coefs, bdims, mcux, mcuy, dri,
+              ss, se, ah, al, progressive) -> None:
+    """Decode one scan's entropy segments into the per-component
+    coefficient arrays. ``scan``: [(comp index, dc table, ac table)].
+    Interleaved scans (>1 component) walk the MCU grid; single-component
+    scans walk the component's own block grid (T.81 A.2.2 — sampling
+    factors are ignored for non-interleaved data)."""
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_mcus = mcux * mcuy
+
+        def mcu_blocks(m):
+            my, mx = divmod(m, mcux)
+            for idx, dc_tab, ac_tab in scan:
+                _, h, v, _ = comps[idx]
+                for by in range(v):
+                    for bx in range(h):
+                        yield idx, my * v + by, mx * h + bx, dc_tab, ac_tab
+    else:
+        idx0, dc0, ac0 = scan[0]
+        by_c, bx_c = bdims[idx0]
+        n_mcus = by_c * bx_c
+
+        def mcu_blocks(m):
+            yield idx0, m // bx_c, m % bx_c, dc0, ac0
+
+    preds = {entry[0]: 0 for entry in scan}
+    eobrun = 0
+    seg_i = 0
+    bits = _Bits(segs[0])
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:
+            seg_i += 1
+            bits = _Bits(segs[seg_i])
+            preds = dict.fromkeys(preds, 0)
+            eobrun = 0
+        for idx, r, c, dc_tab, ac_tab in mcu_blocks(m):
+            coef = coefs[idx][r, c]
+            if not progressive:
+                cf, preds[idx] = _decode_block(bits, dc_tab, ac_tab, preds[idx])
+                coef[:] = cf
+            elif ss == 0:
+                if ah == 0:
+                    preds[idx] = _dc_first(bits, dc_tab, coef, preds[idx], al)
+                elif bits.bit():  # DC refinement: one raw bit per block
+                    coef[0] = int(coef[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first(bits, ac_tab, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(bits, ac_tab, coef, ss, se, al, eobrun)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes → uint8 array of shape (H, W, 1) grayscale or
-    (H, W, 3) RGB."""
+    (H, W, 3) RGB. Handles baseline (single-scan) and progressive
+    (multi-scan) streams through the same coefficient accumulator."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -220,7 +366,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = None  # [(cid, h, v, tq)]
     width = height = None
     dri = 0
-    scan = None  # [(comp index, dc table, ac table)]
+    progressive = False
+    coefs = bdims = None
+    hmax = vmax = mcux = mcuy = 0
+    n_scans = 0
     i = 2
     while i + 4 <= len(data):
         if data[i] != 0xFF:
@@ -228,6 +377,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            i += 2
+            continue
         (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
         body = data[i + 4 : i + 2 + seglen]
         i += 2 + seglen
@@ -249,7 +401,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _build_decode_table(counts, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 — huffman sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG: {prec}-bit precision")
@@ -261,8 +414,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
-        elif marker == 0xC2:
-            raise NotImplementedError("JPEG: progressive (SOF2) not supported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            # coefficient store sized to the padded MCU grid; bdims is
+            # each component's true block grid (non-interleaved scans)
+            coefs = [
+                np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
+                for _, h, v, _ in comps
+            ]
+            def _ceil_div(a, b):
+                return -(-a // b)
+
+            # component's true block grid: ceil(ceil(dim·f/fmax) / 8)
+            bdims = [
+                (_ceil_div(_ceil_div(height * v, vmax), 8),
+                 _ceil_div(_ceil_div(width * h, hmax), 8))
+                for _, h, v, _ in comps
+            ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -270,55 +440,47 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan, then keep parsing
+            if comps is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = body[0]
             scan = []
             for s in range(ns):
                 cs, tda = body[1 + 2 * s], body[2 + 2 * s]
-                idx = next(
-                    j for j, c in enumerate(comps) if c[0] == cs
-                )
-                scan.append((idx, huff[(0, tda >> 4)], huff[(1, tda & 0x0F)]))
-            break  # entropy-coded data follows
+                idx = next(j for j, c in enumerate(comps) if c[0] == cs)
+                # DC-refinement scans use no Huffman table at all and
+                # AC scans no DC table: resolve lazily-absent ids to None
+                scan.append((idx, huff.get((0, tda >> 4)),
+                             huff.get((1, tda & 0x0F))))
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if not progressive:
+                ss_, se_, ahal = 0, 63, 0
+            if ss_ > 0 and ns != 1:
+                raise ValueError("JPEG: interleaved AC progressive scan")
+            segs, i = _entropy_segments(data, i)
+            _run_scan(segs, scan, comps, coefs, bdims, mcux, mcuy, dri,
+                      ss_, se_, ahal >> 4, ahal & 0x0F, progressive)
+            n_scans += 1
         # APPn/COM/DNL etc.: skipped
-    if comps is None or scan is None:
+    if comps is None or n_scans == 0:
         raise ValueError("JPEG: missing SOF/SOS")
 
-    segs, _end = _entropy_segments(data, i)
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
-        for c in comps
-    ]
-    preds = [0] * len(comps)
-    bits = _Bits(segs[0])
-    seg_i = 0
-    for m in range(mcux * mcuy):
-        if dri and m and m % dri == 0:
-            seg_i += 1
-            bits = _Bits(segs[seg_i])
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for idx, dc_tab, ac_tab in scan:
-            _, h, v, tq_id = comps[idx]
-            q = qt[tq_id]
-            for by in range(v):
-                for bx in range(h):
-                    coef, preds[idx] = _decode_block(
-                        bits, dc_tab, ac_tab, preds[idx]
-                    )
-                    blk = np.zeros(64, dtype=np.float64)
-                    blk[ZIGZAG] = coef * q  # dequant, then dezigzag
-                    pix = _C.T @ blk.reshape(8, 8) @ _C + 128.0
-                    y0 = (my * v + by) * 8
-                    x0 = (mx * h + bx) * 8
-                    planes[idx][y0 : y0 + 8, x0 : x0 + 8] = pix
-
     out = []
-    for (_, h, v, _), plane in zip(comps, planes):
+    for (_, h, v, tq_id), cf in zip(comps, coefs):
+        q = qt[tq_id].astype(np.float64)
+        n_by, n_bx = cf.shape[:2]
+        zz = cf.reshape(-1, 64).astype(np.float64) * q[None, :]
+        blk = np.zeros_like(zz)
+        blk[:, ZIGZAG] = zz  # dequant, then dezigzag
+        pix = np.einsum(
+            "ux,nuv,vy->nxy", _C, blk.reshape(-1, 8, 8), _C
+        ) + 128.0
+        plane = (
+            pix.reshape(n_by, n_bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_by * 8, n_bx * 8)
+        )
         up = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
         out.append(up[:height, :width])
     if len(out) == 1:
@@ -334,14 +496,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 # -------------------------------------------------------------- encode
 
 # generated canonical tables (see module docstring): all 12 DC size
-# categories at 4 bits; EOB, ZRL and every (run 0–15, size 1–10) at 8
-# bits. Valid canonical codes (no all-ones code at either length).
+# categories at 4 bits; EOB, ZRL, every (run 0–15, size 1–10) and the
+# 14 progressive EOBn run codes (r 1–14, s 0) at 8 bits — 176 codes,
+# max canonical code 175 < 255, so no all-ones code at either length.
 _DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 _DC_VALS = list(range(12))
-_AC_COUNTS = [0] * 7 + [162] + [0] * 8
+_AC_COUNTS = [0] * 7 + [176] + [0] * 8
 _AC_VALS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+] + [r << 4 for r in range(1, 15)]
 
 
 class _BitWriter:
@@ -403,6 +566,179 @@ def _encode_block(bw: _BitWriter, coef: np.ndarray, dc_tab: dict,
     return int(coef[0])
 
 
+def _flush_eobrun(bw: _BitWriter, ac_tab: dict, eobrun: int,
+                  be: list | None = None) -> int:
+    """Emit a pending EOBn run code (+ its extra bits) and any banked
+    refinement correction bits from the run's blocks; returns 0."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac_tab[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(eobrun & ((1 << nbits) - 1), nbits)
+    if be:
+        for b in be:
+            bw.write(b, 1)
+        be.clear()
+    return 0
+
+
+def _enc_dc_first(bw: _BitWriter, dc_tab: dict, coef0, pred: int,
+                  al: int) -> int:
+    """Progressive DC first scan: difference coding of the
+    point-transformed (>> Al) DC; returns the new predictor."""
+    t = int(coef0) >> al
+    diff = t - pred
+    s = _size_cat(diff)
+    code, ln = dc_tab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return t
+
+
+def _enc_ac_first(bw: _BitWriter, ac_tab: dict, coef, ss: int, se: int,
+                  al: int, eobrun: int) -> int:
+    """Progressive AC first scan over the band Ss..Se with EOB-run
+    accumulation across blocks (T.81 G.1.2.2 / jcphuff
+    encode_mcu_AC_first control flow)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        t = (-v if v < 0 else v) >> al
+        if t == 0:
+            r += 1
+            continue
+        if eobrun > 0:
+            eobrun = _flush_eobrun(bw, ac_tab, eobrun)
+        while r > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            r -= 16
+        s = t.bit_length()
+        code, ln = ac_tab[(r << 4) | s]
+        bw.write(code, ln)
+        tv = -t if v < 0 else t
+        bw.write(tv if tv > 0 else tv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(bw, ac_tab, eobrun)
+    return eobrun
+
+
+def _enc_ac_refine(bw: _BitWriter, ac_tab: dict, coef, ss: int, se: int,
+                   al: int, eobrun: int, be: list) -> int:
+    """Progressive AC refinement scan: newly-nonzero (±2^Al) symbols,
+    ZRL folding bounded by the last newly-nonzero index, correction
+    bits buffered per block (``br``) and emitted right after the
+    covering symbol; blocks folded into an EOB run bank their bits in
+    ``be`` until the run's EOBn flush (jcphuff encode_mcu_AC_refine)."""
+    absv = []
+    eob_k = ss - 1
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        t = (-v if v < 0 else v) >> al
+        absv.append(t)
+        if t == 1:
+            eob_k = k
+    r = 0
+    br: list = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            eobrun = _flush_eobrun(bw, ac_tab, eobrun, be)
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:  # previously nonzero: one correction bit
+            br.append(t & 1)
+            continue
+        eobrun = _flush_eobrun(bw, ac_tab, eobrun, be)
+        code, ln = ac_tab[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(0 if int(coef[k]) < 0 else 1, 1)  # sign of the new coef
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eobrun += 1
+        be.extend(br)
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(bw, ac_tab, eobrun, be)
+    return eobrun
+
+
+def _encode_scan_entropy(samp, blocks, scan_comps, ss, se, ah, al,
+                         dc_enc, ac_enc, bdims, mcux, mcuy,
+                         dri: int) -> bytes:
+    """Entropy-coded bytes (with RSTn markers if ``dri``) for one scan.
+    Baseline scans arrive as (Ss=0, Se=63); progressive DC as
+    (0, 0) and AC as single-component (Ss≥1) scans — the same MCU
+    walk rule as the decoder's ``_run_scan``."""
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_mcus = mcux * mcuy
+
+        def mcu_blocks(m):
+            my, mx = divmod(m, mcux)
+            for ci in scan_comps:
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        yield ci, my * sv + by, mx * sh + bx
+    else:
+        ci0 = scan_comps[0]
+        by_c, bx_c = bdims[ci0]
+        n_mcus = by_c * bx_c
+
+        def mcu_blocks(m):
+            yield ci0, m // bx_c, m % bx_c
+
+    out = bytearray()
+    bw = _BitWriter()
+    preds = {ci: 0 for ci in scan_comps}
+    eobrun = 0
+    be: list = []
+    rst = 0
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:
+            eobrun = _flush_eobrun(bw, ac_enc, eobrun, be)
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            bw = _BitWriter()
+            preds = dict.fromkeys(preds, 0)
+        for ci, r, c in mcu_blocks(m):
+            coef = blocks[ci][r, c]
+            if ss == 0 and se == 63:  # baseline full-spectral block
+                preds[ci] = _encode_block(bw, coef, dc_enc, ac_enc, preds[ci])
+            elif ss == 0:
+                if ah == 0:
+                    preds[ci] = _enc_dc_first(bw, dc_enc, coef[0],
+                                              preds[ci], al)
+                else:  # DC refinement: next magnitude bit, raw
+                    bw.write((int(coef[0]) >> al) & 1, 1)
+            elif ah == 0:
+                eobrun = _enc_ac_first(bw, ac_enc, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _enc_ac_refine(bw, ac_enc, coef, ss, se, al,
+                                        eobrun, be)
+    eobrun = _flush_eobrun(bw, ac_enc, eobrun, be)
+    bw.flush()
+    out += bw.out
+    return bytes(out)
+
+
 def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
     """libjpeg-style quality scaling of an Annex K base table."""
     quality = min(max(int(quality), 1), 100)
@@ -433,13 +769,18 @@ def _fdct_quant(plane: np.ndarray, q_zig: np.ndarray) -> np.ndarray:
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """uint8 (H, W), (H, W, 1) or (H, W, 3) → baseline JFIF bytes.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """uint8 (H, W), (H, W, 1) or (H, W, 3) → JFIF bytes.
     ``subsample``: "444" (no chroma subsampling) or "420" (2×2 chroma
     block-mean, the common photographic layout — also exercises the
     decoder's upsampling path). ``restart_interval`` > 0 emits DRI +
     RSTn markers every that many MCUs (what camera firmware writes for
-    error resilience — exercises the decoder's restart path)."""
+    error resilience — exercises the decoder's restart path).
+    ``progressive`` emits SOF2 with the libjpeg default scan script
+    (interleaved DC at Al=1, spectral-selection AC first scans,
+    successive-approximation AC and DC refinement scans) — the same
+    coefficients bit-exactly, reordered across scans."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -491,47 +832,65 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
 
     dc_enc = _build_encode_table(_DC_COUNTS, _DC_VALS)
     ac_enc = _build_encode_table(_AC_COUNTS, _AC_VALS)
-    entropy = bytearray()
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.flush()
-            entropy += bw.out
-            entropy += bytes(
-                [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
-            )
-            bw = _BitWriter()
-            preds = [0] * len(planes)
-        my, mx = divmod(m, mcux)
-        for ci, (sh, sv) in enumerate(samp):
-            for by in range(sv):
-                for bx in range(sh):
-                    preds[ci] = _encode_block(
-                        bw, blocks[ci][my * sv + by, mx * sh + bx],
-                        dc_enc, ac_enc, preds[ci],
-                    )
-    bw.flush()
-    entropy += bw.out
+    ncomp = len(planes)
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    bdims = [
+        (cdiv(cdiv(h * sv, vmax), 8), cdiv(cdiv(w * sh, hmax), 8))
+        for sh, sv in samp
+    ]
+    if progressive:
+        # libjpeg default scan script shape: interleaved DC first at
+        # Al=1, luma AC split 1–5 / 6–63 at Al=2, chroma AC at Al=1,
+        # then successive-approximation refinements and DC refinement.
+        if ncomp == 1:
+            script = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            script = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([2], 1, 63, 0, 1),
+                ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+    else:
+        script = [(list(range(ncomp)), 0, 63, 0, 0)]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for qi, qtab in enumerate(q_tables):
         out += _seg(0xDB, bytes([qi]) + bytes(qtab[ZIGZAG].astype(np.uint8)))
-    ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, (sh << 4) | sv, q_ids[ci]])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     out += _dht_seg(0, 0, _DC_COUNTS, _DC_VALS)
     out += _dht_seg(1, 0, _AC_COUNTS, _AC_VALS)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])  # every component uses DC0/AC0
-    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
-    out += _seg(0xDA, sos)
-    out += entropy
+    for scan_comps, ss, se, ah, al in script:
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0x00])  # every component uses DC0/AC0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        out += _encode_scan_entropy(
+            samp, blocks, scan_comps, ss, se, ah, al,
+            dc_enc, ac_enc, bdims, mcux, mcuy, restart_interval,
+        )
     out += b"\xff\xd9"  # EOI
     return bytes(out)

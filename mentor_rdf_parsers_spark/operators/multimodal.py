@@ -2,12 +2,12 @@
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape,
 `mapInPandas` signatures) is real and tested. The codec layer is split:
-**PNG (r4), baseline JPEG (r5), MJPEG-in-AVI video (r5), PCM WAV (r4)
-and IMA-ADPCM WAV (r5) decode for real** — pure-stdlib codecs
-(functions/{png,jpeg,avi,adpcm}.py), no PIL/ffmpeg needed — so those
-payloads get true dimensions/durations, classical features, genuine
-thumbnails, and real sampled frames. Formats whose codecs genuinely
-require external libraries (progressive JPEG, mp4/webm video, MP3/AAC
+**PNG (r4), baseline AND progressive JPEG (r5), MJPEG-in-AVI video
+(r5), PCM WAV (r4) and IMA-ADPCM WAV (r5) decode for real** —
+pure-stdlib codecs (functions/{png,jpeg,avi,adpcm}.py), no PIL/ffmpeg
+needed — so those payloads get true dimensions/durations, classical
+features, genuine thumbnails, and real sampled frames. Formats whose
+codecs genuinely require external libraries (mp4/webm video, MP3/AAC
 audio) remain STUBBED behind deterministic fakes — each fake is
 clearly marked, and `strict_codecs=True` raises `NotImplementedError`
 up front to signal that the general-purpose codec layer is absent.
@@ -91,7 +91,7 @@ def _try_decode_image(payload: bytes):
         if jpeg.is_jpeg(payload):
             return jpeg.decode_jpeg(payload)
     except (NotImplementedError, ValueError):
-        pass  # 16-bit / interlaced / progressive / corrupt → stub path
+        pass  # 16-bit / interlaced / arithmetic-coded / corrupt → stub path
     return None
 
 

@@ -101,18 +101,80 @@ class TestRoundTrip:
         assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 6
 
 
+class TestProgressive:
+    """SOF2: spectral selection + successive approximation (round-5).
+    Progressive reorders the SAME quantized coefficients across scans,
+    so its decode must be bit-identical to the baseline encoding of the
+    same input — the strongest possible oracle, no tolerance needed."""
+
+    def test_bit_identical_to_baseline_gray(self):
+        img = _gradient_gray(37, 51)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 90))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 90, progressive=True))
+        np.testing.assert_array_equal(prog, base)
+
+    def test_bit_identical_to_baseline_color(self):
+        img = _gradient_rgb(41, 67)
+        for sub in ("444", "420"):
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85, sub))
+            prog = jpeg.decode_jpeg(
+                jpeg.encode_jpeg(img, 85, sub, progressive=True))
+            np.testing.assert_array_equal(prog, base)
+
+    def test_sof2_marker_and_scan_count(self):
+        data = jpeg.encode_jpeg(_gradient_rgb(), 85, progressive=True)
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        assert data.count(b"\xff\xda") == 10  # libjpeg-shaped scan script
+
+    def test_eob_runs_and_zrl(self):
+        """A flat image maxes out cross-block EOB runs; a sparse one
+        exercises ZRL folding in the refinement scans."""
+        rng = np.random.default_rng(3)
+        flat = np.full((64, 64, 3), 130, np.uint8)
+        sparse = np.zeros((48, 56, 3), np.uint8)
+        sparse[7:9, 30:32] = 255
+        noise = rng.integers(0, 256, (96, 80, 3)).astype(np.uint8)
+        for img in (flat, sparse, noise):
+            for q in (15, 95):
+                base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, q, "420"))
+                prog = jpeg.decode_jpeg(
+                    jpeg.encode_jpeg(img, q, "420", progressive=True))
+                np.testing.assert_array_equal(prog, base)
+
+    def test_progressive_with_restarts(self):
+        """DRI in a progressive stream: EOB runs flush and DC predictors
+        reset at every RSTn, per scan."""
+        img = _gradient_rgb(37, 51)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 90, "420"))
+        data = jpeg.encode_jpeg(img, 90, "420", restart_interval=2,
+                                progressive=True)
+        assert b"\xff\xdd" in data
+        np.testing.assert_array_equal(jpeg.decode_jpeg(data), base)
+
+    def test_multimodal_decodes_progressive_payload(self):
+        """Progressive JPEGs (the common web export) now take the REAL
+        decode path in the Spark stage, not the digest fake."""
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _try_decode_image,
+        )
+
+        img = _gradient_rgb(24, 40)
+        arr = _try_decode_image(jpeg.encode_jpeg(img, 92, progressive=True))
+        assert arr is not None and arr.shape == (24, 40, 3)
+
+
 class TestRejects:
     def test_not_a_jpeg(self):
         assert not jpeg.is_jpeg(b"\x89PNG\r\n\x1a\n")
         with pytest.raises(ValueError):
             jpeg.decode_jpeg(b"not a jpeg at all")
 
-    def test_progressive_rejected_by_name(self):
-        """Swap SOF0 → SOF2 in a valid stream: the named reject fires."""
+    def test_arithmetic_coding_rejected_by_name(self):
+        """Swap SOF0 → SOF9 (arithmetic) in a valid stream: named reject."""
         data = bytearray(jpeg.encode_jpeg(_gradient_gray(), 85))
         i = data.find(b"\xff\xc0")
-        data[i + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="progressive"):
+        data[i + 1] = 0xC9
+        with pytest.raises(NotImplementedError, match="SOF9"):
             jpeg.decode_jpeg(bytes(data))
 
     def test_bad_subsample_arg(self):
