@@ -510,10 +510,89 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_media_decode(spark, sf_dir):
+    """Two facets in one attested result (the 50-row window convention):
+    'fake' — the deterministic digest decode of ref-only payloads
+    (unchanged from r2); 'probe' — REAL containers (PNG, baseline +
+    progressive JPEG, MJPEG-in-MP4, MJPEG-in-Matroska, MP3, ADTS AAC)
+    synthesized distributedly from doc_ids with SQL-expressible
+    parameters, then probed by probe_media: the oracle recomputes the
+    expected container/codec/dims/duration/frame-count with pure
+    arithmetic, so a wrong muxer byte or a wrong parser offset breaks
+    the hash."""
     docs = documents_as_rdf_docs(spark, sf_dir)
     media = media_from_documents(docs)
     meta = decode_images(media)
-    return meta.select("media_id", "width", "height", "n_bytes", "sha")
+    fake = meta.select(
+        F.lit("fake").alias("facet"), "media_id", "width", "height",
+        F.col("n_bytes").alias("n"), F.col("sha").alias("tag"),
+    )
+    return fake.unionByName(_media_probe_facet(spark, sf_dir))
+
+
+def _media_probe_facet(spark, sf_dir):
+    from mentor_rdf_parsers_spark.operators.multimodal import (
+        MEDIA,
+        probe_media,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("d"))
+        .where(F.col("d") % 7 == 0)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mentor_rdf_parsers_spark.functions import (
+            ebml, jpeg, mp4, mpegaudio, png,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": [], "mime": []}
+            for d in pdf["d"]:
+                d = int(d)
+                w, h = 16 + d % 24, 16 + (d * 7) % 24
+                img = (
+                    (np.add.outer(np.arange(h), np.arange(w)) * (d % 11 + 1))
+                    % 256
+                ).astype("uint8")
+                k = d % 6
+                if k == 0:
+                    b = png.encode_png(img)
+                elif k == 1:
+                    b = jpeg.encode_jpeg(
+                        img, 85, progressive=(d // 6) % 2 == 0)
+                elif k in (2, 3):
+                    frames = [jpeg.encode_jpeg(img, 85)] * (2 + d % 3)
+                    if k == 2:
+                        b = mp4.encode_mp4_mjpeg(frames, fps=5,
+                                                 width=w, height=h)
+                    else:
+                        b = ebml.encode_mkv_mjpeg(frames, fps=4,
+                                                  width=w, height=h)
+                elif k == 4:
+                    b = mpegaudio.make_mp3(10 + d % 20)
+                else:
+                    b = mpegaudio.make_adts(10 + d % 20)
+                out["media_id"].append(str(d))
+                out["kind"].append("probe")
+                out["payload"].append(b)
+                out["mime"].append("")
+            yield pd.DataFrame(out)
+
+    probed = probe_media(ids.mapInPandas(synth, schema=MEDIA))
+    return probed.select(
+        F.lit("probe").alias("facet"),
+        "media_id",
+        "width",
+        "height",
+        F.col("duration_ms").alias("n"),
+        F.concat_ws(
+            "/", "container", "codec", F.col("n_frames").cast("string")
+        ).alias("tag"),
+    )
 
 
 # --- relational / SPARQL-algebra family ------------------------------------
@@ -1525,21 +1604,56 @@ SELECT query_id, neighbor_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
 SELECT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b
 FROM documents x JOIN documents y ON x.source = y.source AND x.doc_id < y.doc_id
 """,
-        # the deterministic fake decode (operators/multimodal.py:_fake_decode)
-        # is a pure function of sha256(payload) where payload is the UTF-8
-        # media_ref — reproducible in DuckDB (sha256 is bit-identical)
+        # facet 'fake': the deterministic digest decode
+        # (operators/multimodal.py:_fake_decode) is a pure function of
+        # sha256(payload) where payload is the UTF-8 media_ref —
+        # reproducible in DuckDB (sha256 is bit-identical).
+        # facet 'probe': the Spark side muxes REAL containers with
+        # SQL-expressible parameters and probes them back; the oracle
+        # recomputes the expected metadata with pure arithmetic.
         "media_decode": f"""
 WITH m AS (
   SELECT doc_id, 'media://doc/' || CAST(doc_id AS VARCHAR) || '/img0' AS ref
   FROM documents WHERE doc_id % 3 = 0
 ),
-h AS (SELECT doc_id, ref, sha256(ref) AS sha FROM m)
-SELECT '{DOC_NS}' || CAST(doc_id AS VARCHAR) || '#1' AS media_id,
-  CAST(16 + ({_hex_byte_sql('sha', 0)}) % 240 AS INT) AS width,
-  CAST(16 + ({_hex_byte_sql('sha', 1)}) % 240 AS INT) AS height,
-  CAST(length(ref) AS INT) AS n_bytes,
-  sha
-FROM h
+h AS (SELECT doc_id, ref, sha256(ref) AS sha FROM m),
+fake AS (
+  SELECT 'fake' AS facet,
+    '{DOC_NS}' || CAST(doc_id AS VARCHAR) || '#1' AS media_id,
+    CAST(16 + ({_hex_byte_sql('sha', 0)}) % 240 AS INT) AS width,
+    CAST(16 + ({_hex_byte_sql('sha', 1)}) % 240 AS INT) AS height,
+    CAST(length(ref) AS INT) AS n,
+    sha AS tag
+  FROM h
+),
+ids AS (
+  SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id % 7 = 0
+),
+probe AS (
+  SELECT 'probe' AS facet, CAST(d AS VARCHAR) AS media_id,
+    CASE WHEN d % 6 <= 3 THEN CAST(16 + d % 24 AS INT) END AS width,
+    CASE WHEN d % 6 <= 3 THEN CAST(16 + (d * 7) % 24 AS INT) END AS height,
+    CASE
+      WHEN d % 6 = 2 THEN CAST((2 + d % 3) * 200 AS INT)
+      WHEN d % 6 = 3 THEN CAST((2 + d % 3) * 250 AS INT)
+      WHEN d % 6 = 4
+        THEN CAST(floor((10 + d % 20) * 1152 * 1000.0 / 44100) AS INT)
+      WHEN d % 6 = 5
+        THEN CAST(floor((10 + d % 20) * 1024 * 1000.0 / 44100) AS INT)
+    END AS n,
+    CASE d % 6
+      WHEN 0 THEN 'png/png/1'
+      WHEN 1 THEN CASE WHEN (d // 6) % 2 = 0
+                  THEN 'jpeg/jpeg-progressive/1'
+                  ELSE 'jpeg/jpeg-baseline/1' END
+      WHEN 2 THEN 'mp4/jpeg/' || CAST(2 + d % 3 AS VARCHAR)
+      WHEN 3 THEN 'matroska/V_MJPEG/' || CAST(2 + d % 3 AS VARCHAR)
+      WHEN 4 THEN 'mp3/mp3/' || CAST(10 + d % 20 AS VARCHAR)
+      ELSE 'adts/aac/' || CAST(10 + d % 20 AS VARCHAR)
+    END AS tag
+  FROM ids
+)
+SELECT * FROM fake UNION ALL SELECT * FROM probe
 """,
         "rel_agg_pricing": f"""
 SELECT l_returnflag, l_linestatus,

@@ -35,6 +35,7 @@ native codec (the honest boundary this module documents).
 from __future__ import annotations
 
 import struct
+from typing import Optional
 
 import numpy as np
 
@@ -84,6 +85,31 @@ _C = _dct_matrix()
 
 def is_jpeg(data: bytes) -> bool:
     return len(data) >= 3 and data[:2] == b"\xff\xd8" and data[2] == 0xFF
+
+
+def probe_jpeg(data: bytes) -> Optional[dict]:
+    """Header-only probe (no entropy decode): dimensions, component
+    count and coding process from the first SOFn marker."""
+    if not is_jpeg(data):
+        return None
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker in (0xD9, 0xDA):  # EOI / entropy data: no SOF seen
+            return None
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+            return {"width": w, "height": h,
+                    "components": data[i + 9],
+                    "progressive": marker == 0xC2}
+        i += 2 + seglen
+    return None
 
 
 # ------------------------------------------------------------- huffman

@@ -7,10 +7,12 @@ format — the ``_fake_decode`` stub remains only for formats whose
 codecs genuinely require external libraries (JPEG arithmetic decode,
 video containers).
 
-Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), all five filter types, non-interlaced.
-Rejected with a clear error: 1/2/4/16-bit depths and Adam7 interlace
-(rare in training corpora; the error names the limitation).
+Supported (r5 closed the last variant gaps): every legal
+depth/color-type combination — 1/2/4/8/16-bit gray, 1/2/4/8-bit
+palette, 8/16-bit RGB/gray+alpha/RGBA — all five filter types, and
+both interlace methods (Adam7 passes de-interlaced). 16-bit samples
+downconvert to the high byte (the uint8 output contract); sub-byte
+gray rescales to full range.
 
 Decode cost model: zlib inflate is C-speed; unfiltering is numpy row
 arithmetic — filter types 0 (None) and 2 (Up) vectorize over the whole
@@ -64,9 +66,97 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _unfilter(raw: bytes, offset: int, n_rows: int, stride: int,
+              bpp: int) -> tuple[np.ndarray, int]:
+    """Reverse the five per-row predictors over ``n_rows`` scanlines of
+    ``stride`` bytes (+1 filter byte each) starting at ``offset``;
+    ``bpp`` is the filter's left-neighbor distance in bytes. Returns
+    (uint8 array (n_rows, stride), bytes consumed)."""
+    need = n_rows * (stride + 1)
+    if len(raw) - offset < need:
+        raise ValueError("PNG IDAT length mismatch")
+    ncols = stride // bpp if stride % bpp == 0 else None
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(n_rows):
+        row_start = offset + y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up — vectorizes fully
+            rec = (line + prev) & 0xFF
+        elif ftype == 1 and ncols is not None:
+            # Sub: rec[i] = (line[i] + rec[i-bpp]) mod 256 — a running
+            # sum per byte lane, i.e. cumsum mod 256 down each lane
+            # (int64 accumulator: no overflow below ~3.6e16 px)
+            rec = (
+                np.cumsum(line.reshape(ncols, bpp), axis=0, dtype=np.int64)
+                & 0xFF
+            ).reshape(stride).astype(np.int32)
+        elif ftype in (1, 3, 4):
+            # Average/Paeth (and Sub on ragged strides): genuine
+            # recurrence on the reconstructed left group — loop per
+            # pixel column, vectorized across the bpp byte lanes
+            pad = (-stride) % bpp
+            lp = np.pad(line, (0, pad)).reshape(-1, bpp)
+            pv = np.pad(prev, (0, pad)).reshape(-1, bpp)
+            rec2 = np.empty_like(lp)
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            for x in range(lp.shape[0]):
+                b = pv[x]
+                if ftype == 1:
+                    a = (lp[x] + a) & 0xFF
+                elif ftype == 3:
+                    a = (lp[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    a = (lp[x] + pred) & 0xFF
+                    c = b
+                rec2[x] = a
+            rec = rec2.reshape(-1)[:stride]
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = rec
+        prev = rec
+    return out, need
+
+
+def _rows_to_samples(rows: np.ndarray, pw: int, ch: int,
+                     depth: int, scale_gray: bool) -> np.ndarray:
+    """Unfiltered scanline bytes → uint8 samples (n_rows, pw, ch).
+    16-bit takes the high byte (the standard 16→8 downconversion);
+    1/2/4-bit unpacks MSB-first and rescales gray to full range."""
+    if depth == 8:
+        return rows.reshape(rows.shape[0], pw, ch)
+    if depth == 16:
+        return rows.reshape(rows.shape[0], pw, ch, 2)[..., 0]
+    bits = np.unpackbits(rows, axis=1)[:, : pw * ch * depth]
+    vals = bits.reshape(rows.shape[0], pw * ch, depth)
+    v = np.zeros((rows.shape[0], pw * ch), dtype=np.uint8)
+    for k in range(depth):
+        v = (v << 1) | vals[:, :, k]
+    if scale_gray:
+        v = (v.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    return v.reshape(rows.shape[0], pw, ch)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array of shape (H, W, channels); palette images
-    are expanded to RGB."""
+    are expanded to RGB; 16-bit samples downconvert to their high byte;
+    Adam7 passes are de-interlaced."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     width = height = None
@@ -84,68 +174,46 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.extend(body)
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG color type {color_type} invalid")
+    allowed = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color_type, (8, 16))
+    if bit_depth not in allowed:
+        raise ValueError(
+            f"PNG bit depth {bit_depth} invalid for color type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     ch = _CHANNELS[color_type]
+    scale_gray = color_type in (0, 4) and bit_depth < 8
 
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
 
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        row_start = y * (stride + 1)
-        ftype = raw[row_start]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row_start + 1
-        ).astype(np.int32)
-        if ftype == 0:  # None
-            rec = line
-        elif ftype == 2:  # Up — vectorizes fully
-            rec = (line + prev) & 0xFF
-        elif ftype == 1:
-            # Sub: rec[i] = (line[i] + rec[i-ch]) mod 256 — a running
-            # sum per channel, i.e. cumsum mod 256 down each channel
-            # column (int64 accumulator: no overflow below ~3.6e16 px)
-            rec = (
-                np.cumsum(line.reshape(width, ch), axis=0, dtype=np.int64)
-                & 0xFF
-            ).reshape(stride).astype(np.int32)
-        elif ftype in (3, 4):
-            # Average/Paeth: genuine recurrence on the reconstructed
-            # left PIXEL — loop per pixel column, vectorized across
-            # channels (b and c come from the already-known prev row)
-            lp = line.reshape(width, ch)
-            pv = prev.reshape(width, ch)
-            rec2 = np.empty((width, ch), dtype=np.int32)
-            a = np.zeros(ch, dtype=np.int32)
-            c = np.zeros(ch, dtype=np.int32)
-            for x in range(width):
-                b = pv[x]
-                if ftype == 3:
-                    a = (lp[x] + ((a + b) >> 1)) & 0xFF
-                else:
-                    p = a + b - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                    )
-                    a = (lp[x] + pred) & 0xFF
-                    c = b
-                rec2[x] = a
-            rec = rec2.reshape(stride)
-        else:
-            raise ValueError(f"PNG filter type {ftype} invalid")
-        out[y] = rec
-        prev = rec
+    def one_pass(pw: int, ph: int, offset: int):
+        bits_pp = ch * bit_depth
+        stride = (pw * bits_pp + 7) // 8
+        bpp = max(1, bits_pp // 8)
+        rows, consumed = _unfilter(raw, offset, ph, stride, bpp)
+        return _rows_to_samples(rows, pw, ch, bit_depth, scale_gray), consumed
 
-    arr = out.reshape(height, width, ch)
+    if interlace == 0:
+        samples, consumed = one_pass(width, height, 0)
+        if consumed != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        arr = samples
+    else:  # Adam7
+        arr = np.zeros((height, width, ch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            samples, consumed = one_pass(pw, ph, offset)
+            offset += consumed
+            arr[y0::dy, x0::dx] = samples
+        if offset != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")

@@ -2,15 +2,17 @@
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape,
 `mapInPandas` signatures) is real and tested. The codec layer is split:
-**PNG (r4), baseline AND progressive JPEG (r5), MJPEG-in-AVI video
-(r5), PCM WAV (r4) and IMA-ADPCM WAV (r5) decode for real** —
-pure-stdlib codecs (functions/{png,jpeg,avi,adpcm}.py), no PIL/ffmpeg
-needed — so those payloads get true dimensions/durations, classical
-features, genuine thumbnails, and real sampled frames. Formats whose
-codecs genuinely require external libraries (mp4/webm video, MP3/AAC
-audio) remain STUBBED behind deterministic fakes — each fake is
-clearly marked, and `strict_codecs=True` raises `NotImplementedError`
-up front to signal that the general-purpose codec layer is absent.
+**PNG (r4), baseline AND progressive JPEG (r5), PCM + IMA-ADPCM WAV
+(r4/r5), and Motion-JPEG video in all three demuxed containers — AVI,
+MP4 and Matroska/WebM (r5) — decode for real**; MP3/ADTS-AAC get real
+header-derived durations; `probe_media` reports container/codec/dims/
+duration for every format from native header walks
+(functions/{png,jpeg,avi,mp4,ebml,adpcm,mpegaudio}.py — pure stdlib +
+numpy, no PIL/ffmpeg). The remaining honest boundary is compressed
+ESSENCE that genuinely requires codec libraries (h264/vp9/av1 frames,
+MP3/AAC/opus samples): those keep clearly-marked deterministic fakes,
+and `strict_codecs=True` raises `NotImplementedError` up front to
+signal that the general-purpose codec layer is absent.
 
 At 100 TB the rules encoded here are:
 * media bytes travel as a `binary` column — never base64 strings, never
@@ -167,25 +169,50 @@ def decode_images(
     return media.where(F.col("kind") == "image").mapInPandas(fn, schema=IMAGE_META)
 
 
-def _try_sample_avi(b: bytes, every_n: int, max_frames: int):
-    """REAL frame sampling for MJPEG-in-AVI payloads (functions/avi.py —
-    RIFF chunk walk, frames are standalone baseline JPEGs the jpeg codec
-    decodes). Returns [(source_frame_idx, jpeg_bytes)] or None for
-    non-AVI / non-MJPEG payloads (those fall through to the stub)."""
-    from ..functions import avi
+def _pick_frames(frames, every_n: int, max_frames: int):
+    picked = []
+    for i, frame in enumerate(frames):
+        if i % max(every_n, 1) == 0:
+            picked.append((i, frame))
+            if len(picked) >= max_frames:
+                break
+    return picked or None
 
-    if not avi.is_avi(b):
-        return None
+
+def _try_sample_video(b: bytes, every_n: int, max_frames: int):
+    """REAL frame sampling for Motion-JPEG payloads in any of the three
+    containers this repo demuxes natively — AVI (functions/avi.py, RIFF
+    chunk walk), MP4 (functions/mp4.py, stsz/stsc/stco sample tables)
+    and Matroska/WebM (functions/ebml.py, SimpleBlock walk). Each
+    sampled frame is a standalone baseline JPEG the jpeg codec decodes.
+    Returns [(source_frame_idx, jpeg_bytes)] or None for other
+    containers / codecs (those fall through to the stub)."""
+    from ..functions import avi, ebml, mp4
+
     try:
-        picked = []
-        for i, frame in enumerate(avi.iter_frames(b)):
-            if i % max(every_n, 1) == 0:
-                picked.append((i, frame))
-                if len(picked) >= max_frames:
-                    break
-        return picked or None
+        if avi.is_avi(b):
+            return _pick_frames(avi.iter_frames(b), every_n, max_frames)
+        if mp4.is_mp4(b):
+            meta = mp4.parse_mp4(b)
+            trk = next((t for t in meta["tracks"]
+                        if t["kind"] == "video"
+                        and t["codec"] in ("jpeg", "mjpa")), None)
+            if trk is None:
+                return None  # avc1/hev1/vp09 essence → stub path
+            return _pick_frames(mp4.iter_samples(b, trk), every_n,
+                                max_frames)
+        if ebml.is_ebml(b):
+            meta = ebml.parse_matroska(b)
+            trk = next((t for t in meta["tracks"]
+                        if t["kind"] == "video"
+                        and t["codec"] == "V_MJPEG"), None)
+            if trk is None:
+                return None  # VP8/VP9/AV1 essence → stub path
+            return _pick_frames(ebml.iter_blocks(b, trk["number"]),
+                                every_n, max_frames)
     except ValueError:
-        return None  # non-MJPEG stream / malformed container → stub path
+        return None  # malformed container → stub path
+    return None
 
 
 def sample_frames(
@@ -194,26 +221,27 @@ def sample_frames(
 ) -> DataFrame:
     """media(kind='video') → FRAME rows via mapInPandas.
 
-    MJPEG-in-AVI payloads sample for REAL: every ``every_n``-th frame of
-    the movi list (frame_idx = source frame index), payload = the
-    frame's own JPEG bytes — directly decodable downstream by
-    functions/jpeg.py. Other containers (mp4/webm — codecs genuinely
-    need ffmpeg) keep the stub: deterministic byte slices with
-    sequential frame_idx. Row-per-frame output keeps downstream
-    (per-frame feature extract) embarrassingly parallel.
+    Motion-JPEG payloads in AVI, MP4 and Matroska/WebM containers
+    sample for REAL (native demux, functions/{avi,mp4,ebml}.py):
+    every ``every_n``-th source frame, payload = the frame's own JPEG
+    bytes — directly decodable downstream by functions/jpeg.py.
+    Non-MJPEG essence (h264/vp9/av1 — codecs genuinely need ffmpeg)
+    keeps the stub: deterministic byte slices with sequential
+    frame_idx. Row-per-frame output keeps downstream (per-frame
+    feature extract) embarrassingly parallel.
     """
     if strict_codecs:
         raise NotImplementedError(
             "general video decode requires ffmpeg — not present in this "
-            "container; MJPEG-in-AVI samples natively, other containers "
-            "use the deterministic stub")
+            "container; Motion-JPEG in AVI/MP4/Matroska samples natively, "
+            "other codecs use the deterministic stub")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                real = _try_sample_avi(b, every_n, max_frames)
+                real = _try_sample_video(b, every_n, max_frames)
                 if real is not None:
                     for idx, frame in real:
                         out["media_id"].append(mid)
@@ -320,6 +348,7 @@ def _try_decode_wav(payload: bytes):
             rate = w.getframerate()
             n = w.getnframes()
             width = w.getsampwidth()
+            channels = w.getnchannels()
             frames = w.readframes(n)
     except Exception:
         return None  # non-PCM / truncated → stub path
@@ -327,8 +356,20 @@ def _try_decode_wav(payload: bytes):
         s = np.frombuffer(frames, dtype="<i2").astype("float32") / 32768.0
     elif width == 1:
         s = (np.frombuffer(frames, dtype="u1").astype("float32") - 128.0) / 128.0
+    elif width == 3:  # 24-bit: widen each LE triple to int32, shift down
+        raw = np.frombuffer(frames, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+        v = (raw[:, 0].astype(np.int32)
+             | raw[:, 1].astype(np.int32) << 8
+             | raw[:, 2].astype(np.int32) << 16)
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        s = v.astype("float32") / float(1 << 23)
+    elif width == 4:
+        s = np.frombuffer(frames, dtype="<i4").astype("float32") / float(1 << 31)
     else:
-        return None  # 24/32-bit exotic widths → stub path
+        return None  # exotic widths → stub path
+    if channels > 1:  # mixdown so ZCR/spectral features see one stream
+        s = s[: len(s) - len(s) % channels].reshape(-1, channels).mean(axis=1)
     return (int(n * 1000 / max(rate, 1)), s, rate)
 
 
@@ -349,6 +390,19 @@ def _try_decode_audio(payload: bytes):
             return None  # stereo / exotic nibble width → stub path
         return (int(len(samples) * 1000 / max(rate, 1)), samples, rate)
     return None
+
+
+def _try_probe_compressed_audio(payload: bytes):
+    """REAL header-level metadata for MP3 / ADTS-AAC payloads
+    (functions/mpegaudio.py — frame-header walk over published ISO
+    tables; no sample decode). Returns the probe dict (duration_ms,
+    sample_rate, ...) or None (→ nominal-bitrate fake duration)."""
+    from ..functions import mpegaudio
+
+    probe = mpegaudio.probe_adts_aac(payload)
+    if probe is None:
+        probe = mpegaudio.probe_mp3(payload)
+    return probe
 
 
 def _wav_features(samples, dim: int) -> list[float]:
@@ -382,9 +436,12 @@ def extract_audio_features(
     a genuinely compressed format, 4 bits/sample) payloads decode for
     REAL: true duration from the sample count, classical features (RMS,
     zero-crossing rate, FFT band energies) from the actual samples.
-    Remaining compressed formats (MP3/AAC/opus) keep the deterministic
-    fake — their codecs genuinely need ffmpeg; for those, duration is
-    byte length at a nominal constant bitrate and features are
+    MP3 and ADTS-AAC payloads get a REAL duration/sample-rate from a
+    frame-header walk (functions/mpegaudio.py — published ISO tables,
+    no codec needed) while their sample-level features keep the
+    deterministic fake; remaining formats (opus/vorbis) keep the fake
+    entirely — their codecs genuinely need ffmpeg; for those, duration
+    is byte length at a nominal constant bitrate and features are
     sha256-derived."""
     if strict_codecs:
         raise NotImplementedError(
@@ -404,7 +461,9 @@ def extract_audio_features(
                     dur, samples, _rate = wav
                     feats = _wav_features(samples, feature_dim)
                 else:
-                    dur = len(b) // max(bytes_per_ms, 1)
+                    probe = _try_probe_compressed_audio(b)
+                    dur = (probe["duration_ms"] if probe is not None
+                           else len(b) // max(bytes_per_ms, 1))
                     feats = _fake_features(b, feature_dim)
                 out["media_id"].append(mid)
                 out["duration_ms"].append(dur)
@@ -414,6 +473,135 @@ def extract_audio_features(
             yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "audio").mapInPandas(fn, schema=AUDIO_META)
+
+
+PROBE = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("container", StringType(), False),
+        StructField("codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("n_bytes", IntegerType(), False),
+    ]
+)
+
+_WAV_TAGS = {1: "pcm", 3: "float", 6: "alaw", 7: "mulaw",
+             0x11: "ima-adpcm", 0x55: "mp3"}
+
+
+def _probe_one(b: bytes) -> dict:
+    """Dispatch a payload to the native container parsers
+    (functions/{png,jpeg,avi,mp4,ebml,adpcm,mpegaudio}.py) — header
+    walks only, no essence decode. Curation pipelines filter on this
+    (drop tiny images, cap video length, reject unknown containers)
+    before paying for any decode."""
+    import struct as _s
+
+    from ..functions import avi, ebml, jpeg, mp4, mpegaudio, png
+
+    out = {"container": "unknown", "codec": None, "width": None,
+           "height": None, "duration_ms": None, "n_frames": None}
+    try:
+        if png.is_png(b):
+            w, h = _s.unpack(">II", b[16:24])
+            return {**out, "container": "png", "codec": "png",
+                    "width": w, "height": h, "n_frames": 1}
+        jp = jpeg.probe_jpeg(b)
+        if jp is not None:
+            return {**out, "container": "jpeg",
+                    "codec": "jpeg-progressive" if jp["progressive"]
+                    else "jpeg-baseline",
+                    "width": jp["width"], "height": jp["height"],
+                    "n_frames": 1}
+        if avi.is_avi(b):
+            info = avi.avi_info(b)
+            dur = int(info["usec_per_frame"] * info["total_frames"] / 1000)
+            return {**out, "container": "avi", "codec": "mjpeg",
+                    "width": info["width"], "height": info["height"],
+                    "duration_ms": dur, "n_frames": info["total_frames"]}
+        if mp4.is_mp4(b):
+            meta = mp4.parse_mp4(b)
+            trk = next((t for t in meta["tracks"] if t["kind"] == "video"),
+                       None) or next(iter(meta["tracks"]), None)
+            return {**out, "container": "mp4",
+                    "codec": trk["codec"] if trk else None,
+                    "width": trk["width"] if trk else None,
+                    "height": trk["height"] if trk else None,
+                    "duration_ms": meta["duration_ms"],
+                    "n_frames": trk["n_samples"] if trk else None}
+        if ebml.is_ebml(b):
+            meta = ebml.parse_matroska(b)
+            trk = next((t for t in meta["tracks"] if t["kind"] == "video"),
+                       None) or next(iter(meta["tracks"]), None)
+            return {**out, "container": meta["doctype"] or "matroska",
+                    "codec": trk["codec"] if trk else None,
+                    "width": trk["width"] if trk else None,
+                    "height": trk["height"] if trk else None,
+                    "duration_ms": meta["duration_ms"],
+                    "n_frames": meta["n_blocks"]}
+        if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            return _probe_wav(b, out)
+        aac = mpegaudio.probe_adts_aac(b)
+        if aac is not None:
+            return {**out, "container": "adts", "codec": "aac",
+                    "duration_ms": aac["duration_ms"],
+                    "n_frames": aac["n_frames"]}
+        mp3 = mpegaudio.probe_mp3(b)
+        if mp3 is not None:
+            return {**out, "container": "mp3", "codec": "mp3",
+                    "duration_ms": mp3["duration_ms"],
+                    "n_frames": mp3["n_frames"]}
+    except (ValueError, _s.error):
+        pass  # malformed container: report unknown, never fail the batch
+    return out
+
+
+def _probe_wav(b: bytes, out: dict) -> dict:
+    import struct as _s
+
+    tag = channels = rate = byterate = 0
+    data_len = 0
+    i = 12
+    while i + 8 <= len(b):
+        cc, size = b[i : i + 4], _s.unpack("<I", b[i + 4 : i + 8])[0]
+        if cc == b"fmt " and size >= 16:
+            tag, channels, rate, byterate = _s.unpack(
+                "<HHII", b[i + 8 : i + 20])
+        elif cc == b"data":
+            data_len = size
+        i += 8 + size + (size & 1)
+    dur = int(data_len * 1000 / byterate) if byterate else None
+    return {**out, "container": "wav",
+            "codec": _WAV_TAGS.get(tag, "tag-0x%x" % tag),
+            "duration_ms": dur, "n_frames": None}
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """media (any kind) → PROBE rows via mapInPandas: container,
+    codec, dimensions, duration — from native header walks only (the
+    cheap pre-decode pass a 100 TB curation run gates on). Unknown
+    containers return container='unknown' with NULL metadata rather
+    than failing the batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "container", "codec", "width", "height",
+                    "duration_ms", "n_frames", "n_bytes")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                p = _probe_one(b)
+                out["media_id"].append(mid)
+                for k in ("container", "codec", "width", "height",
+                          "duration_ms", "n_frames"):
+                    out[k].append(p[k])
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fn, schema=PROBE)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

@@ -47,16 +47,104 @@ def test_palette_png_expands_to_rgb():
     assert tuple(d[0, 1]) == (0, 255, 0) and tuple(d[1, 0]) == (0, 0, 255)
 
 
-def test_unsupported_variants_raise_cleanly():
+def test_invalid_variants_raise_cleanly():
     a = np.zeros((2, 2), dtype=np.uint8)
     data = bytearray(encode_png(a))
     # corrupt the bit-depth byte inside IHDR (offset: 8 sig + 8 hdr + 8 w/h)
-    data[24] = 16
-    # crc now wrong but depth check fires first
-    with pytest.raises(NotImplementedError):
+    data[24] = 3  # depth 3 is illegal for every color type
+    with pytest.raises(ValueError, match="bit depth"):
         decode_png(bytes(data))
+    rgb = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    rgb[24] = 4  # sub-byte depth is illegal for truecolor
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(rgb))
     with pytest.raises(ValueError):
         decode_png(b"JFIF not a png")
+
+
+def _raw_png(w, h, depth, color_type, interlace, idat, plte=None):
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    from mentor_rdf_parsers_spark.functions.png import SIGNATURE
+
+    out = SIGNATURE + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                             interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(idat)) + chunk(b"IEND", b"")
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+class TestVariantDepthsAndInterlace:
+    """r5: every legal depth/color-type plus Adam7 — decoded against
+    hand-built spec-shaped files (filter 0 or Up rows)."""
+
+    def test_16bit_rgb_high_byte(self):
+        rng = np.random.default_rng(11)
+        img16 = rng.integers(0, 65536, (9, 13, 3)).astype(np.uint16)
+        raw = b"".join(b"\x00" + img16[y].astype(">u2").tobytes()
+                       for y in range(9))
+        d = decode_png(_raw_png(13, 9, 16, 2, 0, raw))
+        assert np.array_equal(d, (img16 >> 8).astype(np.uint8))
+
+    def test_4bit_gray_rescales(self):
+        rng = np.random.default_rng(12)
+        g4 = rng.integers(0, 16, (7, 11)).astype(np.uint8)
+        rows = []
+        for y in range(7):
+            row = list(g4[y]) + [0]  # pad to even
+            rows.append(b"\x00" + bytes(
+                (row[i] << 4) | row[i + 1] for i in range(0, 11, 2)))
+        d = decode_png(_raw_png(11, 7, 4, 0, 0, b"".join(rows)))
+        assert np.array_equal(
+            d[:, :, 0], (g4.astype(np.uint16) * 255 // 15).astype(np.uint8))
+
+    def test_1bit_palette(self):
+        rng = np.random.default_rng(13)
+        pal = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+        b1 = rng.integers(0, 2, (5, 10)).astype(np.uint8)
+        raw = b"".join(b"\x00" + np.packbits(b1[y]).tobytes()
+                       for y in range(5))
+        d = decode_png(_raw_png(10, 5, 1, 3, 0, raw, plte=pal.tobytes()))
+        assert np.array_equal(d, pal[b1])
+
+    def test_adam7_rgb(self):
+        rng = np.random.default_rng(14)
+        img = rng.integers(0, 256, (21, 17, 3)).astype(np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + sub[y].tobytes()
+        d = decode_png(_raw_png(17, 21, 8, 2, 1, bytes(raw)))
+        assert np.array_equal(d, img)
+
+    def test_adam7_16bit_gray_with_up_filter(self):
+        rng = np.random.default_rng(15)
+        img16 = rng.integers(0, 65536, (12, 9)).astype(np.uint16)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img16[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            prev = np.zeros(sub.shape[1] * 2, dtype=np.uint8)
+            for y in range(sub.shape[0]):
+                line = np.frombuffer(sub[y].astype(">u2").tobytes(),
+                                     dtype=np.uint8)
+                raw += b"\x02" + ((line.astype(int) - prev) & 0xFF).astype(
+                    np.uint8).tobytes()
+                prev = line
+        d = decode_png(_raw_png(9, 12, 16, 0, 1, bytes(raw)))
+        assert np.array_equal(d[:, :, 0], (img16 >> 8).astype(np.uint8))
 
 
 def test_resize_nearest_shapes_and_determinism():
