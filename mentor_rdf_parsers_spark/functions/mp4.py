@@ -140,7 +140,7 @@ def _parse_trak(data: bytes, start: int, end: int) -> Optional[dict]:
         if typ == b"stsd" and len(body) >= 16:
             # first sample entry's fourcc (codec)
             trk["codec"] = body[12:16].decode("latin1", "replace")
-            if trk["kind"] == "video" and len(body) >= 42:
+            if trk["kind"] == "video" and len(body) >= 44:
                 sw, sh = struct.unpack(">HH", body[40:44])
                 trk["width"] = trk["width"] or sw
                 trk["height"] = trk["height"] or sh

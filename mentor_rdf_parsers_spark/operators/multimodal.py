@@ -26,6 +26,7 @@ At 100 TB the rules encoded here are:
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -210,8 +211,9 @@ def _try_sample_video(b: bytes, every_n: int, max_frames: int):
                 return None  # VP8/VP9/AV1 essence → stub path
             return _pick_frames(ebml.iter_blocks(b, trk["number"]),
                                 every_n, max_frames)
-    except ValueError:
-        return None  # malformed container → stub path
+    except (ValueError, struct.error, IndexError):
+        # malformed container that passed the magic check → stub path
+        return None
     return None
 
 
@@ -554,7 +556,7 @@ def _probe_one(b: bytes) -> dict:
             return {**out, "container": "mp3", "codec": "mp3",
                     "duration_ms": mp3["duration_ms"],
                     "n_frames": mp3["n_frames"]}
-    except (ValueError, _s.error):
+    except (ValueError, _s.error, IndexError):
         pass  # malformed container: report unknown, never fail the batch
     return out
 

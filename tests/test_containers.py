@@ -198,6 +198,38 @@ class TestProbeMedia:
         assert got["unk"]["codec"] is None
 
 
+class TestMalformedContainerRobustness:
+    """Truncated or bit-flipped containers must NEVER raise out of the
+    probe/sample paths — at 100 TB a poison payload that kills a task
+    triggers retry storms; the contract is quarantine (unknown/stub),
+    not failure."""
+
+    def test_truncation_and_corruption_never_raise(self):
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _probe_one,
+            _try_sample_video,
+        )
+
+        frames = [jpeg.encode_jpeg(np.zeros((16, 16), np.uint8), 85)] * 3
+        payloads = [
+            mp4.encode_mp4_mjpeg(frames, 5),
+            ebml.encode_mkv_mjpeg(frames, 5),
+            mpegaudio.make_mp3(5),
+            mpegaudio.make_adts(5),
+        ]
+        rng = np.random.default_rng(1)
+        for p in payloads:
+            for cut in range(1, len(p), max(1, len(p) // 25)):
+                _probe_one(p[:cut])
+                _try_sample_video(p[:cut], 1, 2)
+            for _ in range(25):
+                q = bytearray(p)
+                for _ in range(5):
+                    q[rng.integers(0, len(q))] = rng.integers(0, 256)
+                _probe_one(bytes(q))
+                _try_sample_video(bytes(q), 1, 2)
+
+
 class TestWavSampleWidths:
     """r5: 24-bit and 32-bit PCM plus stereo mixdown in the real WAV
     decode path (previously only 8/16-bit mono took the real path)."""
