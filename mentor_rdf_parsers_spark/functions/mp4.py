@@ -82,7 +82,9 @@ def _u32s(body: bytes, off: int, n: int) -> list[int]:
 def parse_mp4(data: bytes) -> dict:
     """Container metadata: movie duration + one dict per track with
     handler kind, codec fourcc, dimensions, timescale and the sample
-    tables needed for demux (``iter_samples``)."""
+    tables needed for demux (``iter_samples``). Fragmented files
+    (fMP4/DASH: moof/traf/trun run lists instead of stbl tables) demux
+    too — fragment samples land in each track's ``fragments`` list."""
     if not is_mp4(data):
         raise ValueError("not an ISO BMFF file (no ftyp)")
     out: dict = {"brand": data[8:12].decode("latin1"), "duration_ms": 0,
@@ -90,6 +92,8 @@ def parse_mp4(data: bytes) -> dict:
     moov = _find(data, 0, len(data), [b"moov"])
     if moov is None:
         raise ValueError("MP4: missing moov box")
+    track_ids: dict[int, dict] = {}
+    trex_sizes: dict[int, int] = {}
     for typ, b, e in _iter_boxes(data, moov[0], moov[1]):
         if typ == b"mvhd":
             ver = data[b]
@@ -102,15 +106,104 @@ def parse_mp4(data: bytes) -> dict:
             trk = _parse_trak(data, b, e)
             if trk:
                 out["tracks"].append(trk)
+                track_ids[trk["track_id"]] = trk
+        elif typ == b"mvex":
+            for typ2, b2, e2 in _iter_boxes(data, b, e):
+                if typ2 == b"trex":
+                    tid, _desc, _dur, size = struct.unpack(
+                        ">IIII", data[b2 + 4 : b2 + 20])
+                    trex_sizes[tid] = size
+    for tid, size in trex_sizes.items():
+        if tid in track_ids:
+            track_ids[tid]["trex_size"] = size
+    for typ, b, e in _iter_boxes(data, 0, len(data)):
+        if typ == b"moof":
+            _parse_moof(data, b, e, track_ids)
+    for trk in out["tracks"]:
+        trk["n_samples"] += len(trk["fragments"])
     return out
+
+
+def _parse_moof(data: bytes, start: int, end: int,
+                track_ids: dict[int, dict]) -> None:
+    """Collect (absolute offset, size) per fragment sample into the
+    owning track. Supports the common layouts: per-sample sizes or
+    tfhd/trex default size; data offsets relative to the moof start
+    (default-base-is-moof, tf_flags 0x020000) or an explicit
+    base_data_offset (tf_flags 0x1); absent both, ISO defaults the base
+    to the moof start for the first traf."""
+    moof_start = start - 8  # box header precedes the body span
+    for typ, b, e in _iter_boxes(data, start, end):
+        if typ != b"traf":
+            continue
+        tf_flags = 0
+        track_id = None
+        base = moof_start
+        default_size = 0
+        for typ2, b2, e2 in _iter_boxes(data, b, e):
+            if typ2 == b"tfhd":
+                tf_flags = int.from_bytes(data[b2 + 1 : b2 + 4], "big")
+                (track_id,) = struct.unpack(">I", data[b2 + 4 : b2 + 8])
+                p = b2 + 8
+                if tf_flags & 0x000001:  # base_data_offset
+                    (base,) = struct.unpack(">Q", data[p : p + 8])
+                    p += 8
+                if tf_flags & 0x000002:  # sample_description_index
+                    p += 4
+                if tf_flags & 0x000008:  # default_sample_duration
+                    p += 4
+                if tf_flags & 0x000010:  # default_sample_size
+                    (default_size,) = struct.unpack(">I", data[p : p + 4])
+                    p += 4
+        trk = track_ids.get(track_id)
+        if trk is None:
+            continue
+        default_size = default_size or trk.get("trex_size", 0)
+        for typ2, b2, e2 in _iter_boxes(data, b, e):
+            if typ2 != b"trun":
+                continue
+            tr_flags = int.from_bytes(data[b2 + 1 : b2 + 4], "big")
+            (count,) = struct.unpack(">I", data[b2 + 4 : b2 + 8])
+            p = b2 + 8
+            pos = base
+            if tr_flags & 0x000001:  # data_offset (signed, from base)
+                (doff,) = struct.unpack(">i", data[p : p + 4])
+                p += 4
+                pos = base + doff
+            if tr_flags & 0x000004:  # first_sample_flags
+                p += 4
+            per_sample = 4 * (
+                bool(tr_flags & 0x000100)   # duration
+                + bool(tr_flags & 0x000200)  # size
+                + bool(tr_flags & 0x000400)  # flags
+                + bool(tr_flags & 0x000800)  # cts offset
+            )
+            for _ in range(count):
+                q = p
+                if tr_flags & 0x000100:
+                    q += 4
+                if tr_flags & 0x000200:
+                    (size,) = struct.unpack(">I", data[q : q + 4])
+                else:
+                    size = default_size
+                if size <= 0:
+                    raise ValueError("MP4: fragment sample without a size")
+                trk["fragments"].append((pos, size))
+                pos += size
+                p += per_sample
 
 
 def _parse_trak(data: bytes, start: int, end: int) -> Optional[dict]:
     trk: dict = {"kind": "other", "codec": "", "width": 0, "height": 0,
                  "timescale": 0, "duration_ms": 0, "n_samples": 0,
-                 "sizes": [], "stsc": [], "chunk_offsets": [], "sync": None}
+                 "track_id": 0, "sizes": [], "stsc": [],
+                 "chunk_offsets": [], "sync": None, "fragments": [],
+                 "trex_size": 0}
     tkhd = _find(data, start, end, [b"tkhd"])
     if tkhd:
+        b = tkhd[0]
+        tid_off = b + (12 if data[b] == 0 else 20)
+        (trk["track_id"],) = struct.unpack(">I", data[tid_off : tid_off + 4])
         # width/height are the trailing two 16.16 values of the box
         # (same tail position for version 0 and 1 layouts)
         w, h = struct.unpack(">II", data[tkhd[1] - 8 : tkhd[1]])
@@ -168,25 +261,27 @@ def _parse_trak(data: bytes, start: int, end: int) -> Optional[dict]:
 
 
 def iter_samples(data: bytes, track: dict) -> Iterator[bytes]:
-    """Demux a track's samples in order via stsc/stco/stsz — pure
-    offset arithmetic, no codec. Works for any essence format."""
+    """Demux a track's samples in order via stsc/stco/stsz, then any
+    fragment (moof/trun) run lists — pure offset arithmetic, no codec.
+    Works for any essence format."""
     sizes = track["sizes"]
     offsets = track["chunk_offsets"]
     stsc = track["stsc"]
-    if not sizes or not offsets or not stsc:
-        return
-    si = 0
-    n_chunks = len(offsets)
-    for ei, (first, spc, _desc) in enumerate(stsc):
-        last = stsc[ei + 1][0] - 1 if ei + 1 < len(stsc) else n_chunks
-        for chunk in range(first, last + 1):
-            pos = offsets[chunk - 1]
-            for _ in range(spc):
-                if si >= len(sizes):
-                    return
-                yield data[pos : pos + sizes[si]]
-                pos += sizes[si]
-                si += 1
+    if sizes and offsets and stsc:
+        si = 0
+        n_chunks = len(offsets)
+        for ei, (first, spc, _desc) in enumerate(stsc):
+            last = stsc[ei + 1][0] - 1 if ei + 1 < len(stsc) else n_chunks
+            for chunk in range(first, last + 1):
+                pos = offsets[chunk - 1]
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    yield data[pos : pos + sizes[si]]
+                    pos += sizes[si]
+                    si += 1
+    for pos, size in track.get("fragments", ()):
+        yield data[pos : pos + size]
 
 
 # ------------------------------------------------------------------ mux
@@ -277,3 +372,103 @@ def encode_mp4_mjpeg(frames: list[bytes], fps: int = 10,
         trak,
     )
     return ftyp + mdat + moov
+
+
+def encode_fmp4_mjpeg(frames: list[bytes], fps: int = 10,
+                      width: int = 0, height: int = 0,
+                      frames_per_fragment: int = 2) -> bytes:
+    """Fragmented (DASH-style) Motion-JPEG MP4: an empty-stbl moov with
+    mvex/trex, then one moof+mdat pair per ``frames_per_fragment``
+    frames (tfhd default-base-is-moof, trun with per-sample sizes) —
+    the streaming layout ``parse_mp4``'s fragment demux targets."""
+    if not frames:
+        raise ValueError("encode_fmp4_mjpeg: no frames")
+    if not (width and height):
+        from .jpeg import decode_jpeg
+
+        h_, w_ = decode_jpeg(frames[0]).shape[:2]
+        width, height = width or w_, height or h_
+    timescale = fps * 100
+    delta = 100
+
+    init = bytearray(_box(b"ftyp", b"isom", struct.pack(">I", 0x200),
+                          b"isomiso2mp41"))
+    empty32 = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(
+            b"jpeg",
+            bytes(6), struct.pack(">H", 1),
+            bytes(16),
+            struct.pack(">HH", width, height),
+            struct.pack(">II", 0x480000, 0x480000),
+            bytes(4), struct.pack(">H", 1),
+            bytes(32),
+            struct.pack(">Hh", 24, -1),
+        )),
+        empty32,
+        _full(b"stsc", 0, 0, struct.pack(">I", 0)),
+        _full(b"stsz", 0, 0, struct.pack(">II", 0, 0)),
+        _full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    minf = _box(
+        b"minf",
+        _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)),
+        _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1)
+                            + _full(b"url ", 0, 1, b""))),
+        stbl,
+    )
+    mdia = _box(
+        b"mdia",
+        _full(b"mdhd", 0, 0, struct.pack(
+            ">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0)),
+        _full(b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(12)
+              + b"VideoHandler\x00"),
+        minf,
+    )
+    trak = _box(
+        b"trak",
+        _full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0)
+              + struct.pack(">I", 0) + bytes(8)
+              + struct.pack(">HHHH", 0, 0, 0, 0) + _UNITY_MATRIX
+              + struct.pack(">II", width << 16, height << 16)),
+        mdia,
+    )
+    mvex = _box(b"mvex", _full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, delta, 0, 0)))
+    init += _box(
+        b"moov",
+        _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, 0)
+              + struct.pack(">IHH", 0x10000, 0x100, 0) + bytes(8)
+              + _UNITY_MATRIX + bytes(24) + struct.pack(">I", 2)),
+        trak,
+        mvex,
+    )
+
+    out = bytearray(init)
+    seq = 1
+    for i in range(0, len(frames), max(1, frames_per_fragment)):
+        chunk = frames[i : i + frames_per_fragment]
+        trun_body = struct.pack(">I", len(chunk))
+        trun_body += struct.pack(">i", 0)  # data_offset patched below
+        for f in chunk:
+            trun_body += struct.pack(">I", len(f))
+        traf = _box(
+            b"traf",
+            # tf_flags 0x020000: default-base-is-moof
+            _box(b"tfhd", struct.pack(">B", 0)
+                 + (0x020000).to_bytes(3, "big") + struct.pack(">I", 1)),
+            _full(b"trun", 0, 0x000201, trun_body),  # data-offset + sizes
+        )
+        moof = bytearray(_box(
+            b"moof",
+            _full(b"mfhd", 0, 0, struct.pack(">I", seq)),
+            traf,
+        ))
+        # patch trun data_offset: first mdat payload byte, moof-relative
+        doff = len(moof) + 8
+        pos = moof.find(b"trun") + 4 + 4 + 4  # fourcc, ver/flags, count
+        moof[pos : pos + 4] = struct.pack(">i", doff)
+        out += moof + _box(b"mdat", *chunk)
+        seq += 1
+    return bytes(out)

@@ -51,6 +51,55 @@ class TestMp4:
         trk["chunk_offsets"] = [off0, off1]
         assert list(mp4.iter_samples(bytes(data), trk)) == frames
 
+    def test_fragmented_fmp4_demux(self):
+        """DASH-style moof/traf/trun run lists (default-base-is-moof +
+        per-sample sizes) — the streaming layout a web-scraped corpus
+        actually contains."""
+        frames = _frames(7)
+        data = mp4.encode_fmp4_mjpeg(frames, fps=5, frames_per_fragment=3)
+        meta = mp4.parse_mp4(data)
+        trk = meta["tracks"][0]
+        assert (trk["kind"], trk["codec"]) == ("video", "jpeg")
+        assert trk["n_samples"] == 7 and len(trk["fragments"]) == 7
+        assert list(mp4.iter_samples(data, trk)) == frames
+        # the Spark sampling and probe paths pick it up transparently
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _probe_one,
+            _try_sample_video,
+        )
+
+        assert [i for i, _ in _try_sample_video(data, 2, 4)] == [0, 2, 4, 6]
+        p = _probe_one(data)
+        assert (p["container"], p["codec"], p["n_frames"]) == (
+            "mp4", "jpeg", 7)
+
+    def test_fragment_default_sample_size(self):
+        """trun without per-sample sizes: sizes come from the tfhd
+        default_sample_size field instead."""
+        import struct
+
+        from mentor_rdf_parsers_spark.functions.mp4 import _box, _full
+
+        payload = [bytes([i]) * 64 for i in range(4)]  # equal sizes
+        base = mp4.encode_fmp4_mjpeg(_frames(1), fps=5)
+        meta = mp4.parse_mp4(base)
+        init_end = base.find(b"moof") - 4
+        init = base[:init_end]
+        # tfhd flags: default-base-is-moof | default_sample_size
+        tfhd = _box(b"tfhd", struct.pack(">B", 0)
+                    + (0x020010).to_bytes(3, "big")
+                    + struct.pack(">II", 1, 64))
+        trun_body = struct.pack(">Ii", 4, 0)
+        traf = _box(b"traf", tfhd, _full(b"trun", 0, 0x000001, trun_body))
+        moof = bytearray(_box(b"moof", _full(b"mfhd", 0, 0,
+                                             struct.pack(">I", 1)), traf))
+        doff = len(moof) + 8
+        pos = moof.find(b"trun") + 12
+        moof[pos : pos + 4] = struct.pack(">i", doff)
+        data = init + bytes(moof) + _box(b"mdat", *payload)
+        trk = mp4.parse_mp4(data)["tracks"][0]
+        assert list(mp4.iter_samples(data, trk)) == payload
+
     def test_rejects_non_mp4(self):
         assert not mp4.is_mp4(b"RIFF....AVI LIST")
         with pytest.raises(ValueError):
@@ -213,6 +262,7 @@ class TestMalformedContainerRobustness:
         frames = [jpeg.encode_jpeg(np.zeros((16, 16), np.uint8), 85)] * 3
         payloads = [
             mp4.encode_mp4_mjpeg(frames, 5),
+            mp4.encode_fmp4_mjpeg(frames, 5),
             ebml.encode_mkv_mjpeg(frames, 5),
             mpegaudio.make_mp3(5),
             mpegaudio.make_adts(5),
