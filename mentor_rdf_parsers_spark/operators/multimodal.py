@@ -401,7 +401,11 @@ def _try_probe_compressed_audio(payload: bytes):
     sample_rate, ...) or None (→ nominal-bitrate fake duration)."""
     from ..functions import mpegaudio
 
+    from ..functions import oggflac
+
     probe = mpegaudio.probe_adts_aac(payload)
+    if probe is None:
+        probe = oggflac.probe_ogg(payload) or oggflac.probe_flac(payload)
     if probe is None:
         probe = mpegaudio.probe_mp3(payload)
     return probe
@@ -438,12 +442,12 @@ def extract_audio_features(
     a genuinely compressed format, 4 bits/sample) payloads decode for
     REAL: true duration from the sample count, classical features (RMS,
     zero-crossing rate, FFT band energies) from the actual samples.
-    MP3 and ADTS-AAC payloads get a REAL duration/sample-rate from a
-    frame-header walk (functions/mpegaudio.py — published ISO tables,
-    no codec needed) while their sample-level features keep the
-    deterministic fake; remaining formats (opus/vorbis) keep the fake
-    entirely — their codecs genuinely need ffmpeg; for those, duration
-    is byte length at a nominal constant bitrate and features are
+    MP3, ADTS-AAC, Ogg Opus/Vorbis and FLAC payloads get a REAL
+    duration/sample-rate from header walks (functions/mpegaudio.py and
+    functions/oggflac.py — published spec fields, no codec needed)
+    while their sample-level features keep the deterministic fake;
+    unrecognized formats keep the fake entirely — duration is byte
+    length at a nominal constant bitrate and features are
     sha256-derived."""
     if strict_codecs:
         raise NotImplementedError(
@@ -546,6 +550,16 @@ def _probe_one(b: bytes) -> dict:
                     "n_frames": meta["n_blocks"]}
         if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             return _probe_wav(b, out)
+        from ..functions import oggflac
+
+        ogg = oggflac.probe_ogg(b)
+        if ogg is not None:
+            return {**out, "container": "ogg", "codec": ogg["codec"],
+                    "duration_ms": ogg["duration_ms"]}
+        flac = oggflac.probe_flac(b)
+        if flac is not None:
+            return {**out, "container": "flac", "codec": "flac",
+                    "duration_ms": flac["duration_ms"]}
         aac = mpegaudio.probe_adts_aac(b)
         if aac is not None:
             return {**out, "container": "adts", "codec": "aac",

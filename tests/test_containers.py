@@ -247,6 +247,52 @@ class TestProbeMedia:
         assert got["unk"]["codec"] is None
 
 
+class TestOggFlac:
+    def test_opus_duration(self):
+        from mentor_rdf_parsers_spark.functions import oggflac
+
+        p = oggflac.probe_ogg(oggflac.make_ogg_opus(2500, channels=1))
+        assert p == {"codec": "opus", "sample_rate": 48000,
+                     "channels": 1, "duration_ms": 2500}
+
+    def test_vorbis_duration(self):
+        from mentor_rdf_parsers_spark.functions import oggflac
+
+        p = oggflac.probe_ogg(oggflac.make_ogg_vorbis(1800, rate=22050))
+        assert (p["codec"], p["sample_rate"], p["duration_ms"]) == (
+            "vorbis", 22050, 1800)
+
+    def test_flac_streaminfo(self):
+        from mentor_rdf_parsers_spark.functions import oggflac
+
+        p = oggflac.probe_flac(oggflac.make_flac(3200, rate=48000))
+        assert (p["codec"], p["sample_rate"], p["duration_ms"]) == (
+            "flac", 48000, 3200)
+
+    def test_probe_and_audio_stage_dispatch(self, spark):
+        from mentor_rdf_parsers_spark.functions import oggflac
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            MEDIA,
+            extract_audio_features,
+            probe_media,
+        )
+
+        rows = [
+            ("opus", "audio", bytearray(oggflac.make_ogg_opus(2500)), ""),
+            ("flac", "audio", bytearray(oggflac.make_flac(3200)), ""),
+        ]
+        df = spark.createDataFrame(rows, MEDIA)
+        got = {r["media_id"]: r for r in probe_media(df).collect()}
+        assert (got["opus"]["container"], got["opus"]["codec"],
+                got["opus"]["duration_ms"]) == ("ogg", "opus", 2500)
+        assert (got["flac"]["container"], got["flac"]["duration_ms"]) == (
+            "flac", 3200)
+        feats = {r["media_id"]: r
+                 for r in extract_audio_features(df).collect()}
+        assert feats["opus"]["duration_ms"] == 2500
+        assert feats["flac"]["duration_ms"] == 3200
+
+
 class TestMalformedContainerRobustness:
     """Truncated or bit-flipped containers must NEVER raise out of the
     probe/sample paths — at 100 TB a poison payload that kills a task
@@ -266,6 +312,10 @@ class TestMalformedContainerRobustness:
             ebml.encode_mkv_mjpeg(frames, 5),
             mpegaudio.make_mp3(5),
             mpegaudio.make_adts(5),
+            __import__("mentor_rdf_parsers_spark.functions.oggflac",
+                       fromlist=["x"]).make_ogg_opus(1000),
+            __import__("mentor_rdf_parsers_spark.functions.oggflac",
+                       fromlist=["x"]).make_flac(1000),
         ]
         rng = np.random.default_rng(1)
         for p in payloads:
