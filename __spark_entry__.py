@@ -546,7 +546,7 @@ def _media_probe_facet(spark, sf_dir):
         import pandas as pd
 
         from mentor_rdf_parsers_spark.functions import (
-            ebml, jpeg, mp4, mpegaudio, png,
+            ebml, gif, imagex, jpeg, mp4, mpegaudio, png,
         )
 
         for pdf in batches:
@@ -558,12 +558,12 @@ def _media_probe_facet(spark, sf_dir):
                     (np.add.outer(np.arange(h), np.arange(w)) * (d % 11 + 1))
                     % 256
                 ).astype("uint8")
-                k = d % 6
+                k = d % 10
                 if k == 0:
                     b = png.encode_png(img)
                 elif k == 1:
                     b = jpeg.encode_jpeg(
-                        img, 85, progressive=(d // 6) % 2 == 0)
+                        img, 85, progressive=(d // 10) % 2 == 0)
                 elif k in (2, 3):
                     frames = [jpeg.encode_jpeg(img, 85)] * (2 + d % 3)
                     if k == 2:
@@ -574,8 +574,17 @@ def _media_probe_facet(spark, sf_dir):
                                                   width=w, height=h)
                 elif k == 4:
                     b = mpegaudio.make_mp3(10 + d % 20)
-                else:
+                elif k == 5:
                     b = mpegaudio.make_adts(10 + d % 20)
+                elif k == 6:
+                    b = gif.encode_gif(
+                        [np.stack([img] * 3, axis=2)] * (2 + d % 3))
+                elif k == 7:
+                    b = imagex.encode_bmp(img)
+                elif k == 8:
+                    b = imagex.make_tiff(w, h)
+                else:
+                    b = imagex.make_webp_vp8l_header(w, h)
                 out["media_id"].append(str(d))
                 out["kind"].append("probe")
                 out["payload"].append(b)
@@ -1631,25 +1640,31 @@ ids AS (
 ),
 probe AS (
   SELECT 'probe' AS facet, CAST(d AS VARCHAR) AS media_id,
-    CASE WHEN d % 6 <= 3 THEN CAST(16 + d % 24 AS INT) END AS width,
-    CASE WHEN d % 6 <= 3 THEN CAST(16 + (d * 7) % 24 AS INT) END AS height,
+    CASE WHEN d % 10 IN (0,1,2,3,6,7,8,9)
+         THEN CAST(16 + d % 24 AS INT) END AS width,
+    CASE WHEN d % 10 IN (0,1,2,3,6,7,8,9)
+         THEN CAST(16 + (d * 7) % 24 AS INT) END AS height,
     CASE
-      WHEN d % 6 = 2 THEN CAST((2 + d % 3) * 200 AS INT)
-      WHEN d % 6 = 3 THEN CAST((2 + d % 3) * 250 AS INT)
-      WHEN d % 6 = 4
+      WHEN d % 10 = 2 THEN CAST((2 + d % 3) * 200 AS INT)
+      WHEN d % 10 = 3 THEN CAST((2 + d % 3) * 250 AS INT)
+      WHEN d % 10 = 4
         THEN CAST(floor((10 + d % 20) * 1152 * 1000.0 / 44100) AS INT)
-      WHEN d % 6 = 5
+      WHEN d % 10 = 5
         THEN CAST(floor((10 + d % 20) * 1024 * 1000.0 / 44100) AS INT)
     END AS n,
-    CASE d % 6
+    CASE d % 10
       WHEN 0 THEN 'png/png/1'
-      WHEN 1 THEN CASE WHEN (d // 6) % 2 = 0
+      WHEN 1 THEN CASE WHEN (d // 10) % 2 = 0
                   THEN 'jpeg/jpeg-progressive/1'
                   ELSE 'jpeg/jpeg-baseline/1' END
       WHEN 2 THEN 'mp4/jpeg/' || CAST(2 + d % 3 AS VARCHAR)
       WHEN 3 THEN 'matroska/V_MJPEG/' || CAST(2 + d % 3 AS VARCHAR)
       WHEN 4 THEN 'mp3/mp3/' || CAST(10 + d % 20 AS VARCHAR)
-      ELSE 'adts/aac/' || CAST(10 + d % 20 AS VARCHAR)
+      WHEN 5 THEN 'adts/aac/' || CAST(10 + d % 20 AS VARCHAR)
+      WHEN 6 THEN 'gif/gif/' || CAST(2 + d % 3 AS VARCHAR)
+      WHEN 7 THEN 'bmp/bmp/1'
+      WHEN 8 THEN 'tiff/tiff/1'
+      ELSE 'webp/vp8l/1'
     END AS tag
   FROM ids
 )

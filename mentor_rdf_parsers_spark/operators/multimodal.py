@@ -2,9 +2,10 @@
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape,
 `mapInPandas` signatures) is real and tested. The codec layer is split:
-**PNG (r4), baseline AND progressive JPEG (r5), PCM + IMA-ADPCM WAV
-(r4/r5), and Motion-JPEG video in all three demuxed containers — AVI,
-MP4 and Matroska/WebM (r5) — decode for real**; MP3/ADTS-AAC get real
+**PNG (r4), baseline AND progressive JPEG (r5), GIF incl. animation
+(r5), PCM + IMA-ADPCM WAV (r4/r5), and Motion-JPEG video in all three
+demuxed containers — AVI, MP4 and Matroska/WebM (r5) — decode for
+real**; MP3/ADTS-AAC/Ogg-Opus/Vorbis/FLAC get real
 header-derived durations; `probe_media` reports container/codec/dims/
 duration for every format from native header walks
 (functions/{png,jpeg,avi,mp4,ebml,adpcm,mpegaudio}.py — pure stdlib +
@@ -93,8 +94,14 @@ def _try_decode_image(payload: bytes):
             return png.decode_png(payload)
         if jpeg.is_jpeg(payload):
             return jpeg.decode_jpeg(payload)
-    except (NotImplementedError, ValueError):
-        pass  # 16-bit / interlaced / arithmetic-coded / corrupt → stub path
+        from ..functions import gif, imagex
+
+        if gif.is_gif(payload):
+            return gif.decode_gif(payload)  # first frame
+        if imagex.is_bmp(payload):
+            return imagex.decode_bmp(payload)
+    except (NotImplementedError, ValueError, IndexError):
+        pass  # arithmetic-coded / RLE-BMP / corrupt → stub path
     return None
 
 
@@ -188,11 +195,17 @@ def _try_sample_video(b: bytes, every_n: int, max_frames: int):
     sampled frame is a standalone baseline JPEG the jpeg codec decodes.
     Returns [(source_frame_idx, jpeg_bytes)] or None for other
     containers / codecs (those fall through to the stub)."""
-    from ..functions import avi, ebml, mp4
+    from ..functions import avi, ebml, gif, mp4, png
 
     try:
         if avi.is_avi(b):
             return _pick_frames(avi.iter_frames(b), every_n, max_frames)
+        if gif.is_gif(b):
+            # animated GIF: frames are real decoded pixels, re-encoded
+            # as standalone PNGs (the downstream-decodable contract)
+            return _pick_frames(
+                (png.encode_png(fr) for fr in gif.decode_gif_frames(b)),
+                every_n, max_frames)
         if mp4.is_mp4(b):
             meta = mp4.parse_mp4(b)
             trk = next((t for t in meta["tracks"]
@@ -521,6 +534,27 @@ def _probe_one(b: bytes) -> dict:
                     "codec": "jpeg-progressive" if jp["progressive"]
                     else "jpeg-baseline",
                     "width": jp["width"], "height": jp["height"],
+                    "n_frames": 1}
+        from ..functions import gif, imagex
+
+        gp = gif.probe_gif(b)
+        if gp is not None:
+            return {**out, "container": "gif", "codec": "gif",
+                    "width": gp["width"], "height": gp["height"],
+                    "n_frames": gp["n_frames"]}
+        if imagex.is_bmp(b):
+            w, h = _s.unpack("<ii", b[18:26])
+            return {**out, "container": "bmp", "codec": "bmp",
+                    "width": w, "height": abs(h), "n_frames": 1}
+        tp = imagex.probe_tiff(b)
+        if tp is not None:
+            return {**out, "container": "tiff", "codec": "tiff",
+                    "width": tp["width"], "height": tp["height"],
+                    "n_frames": 1}
+        wp = imagex.probe_webp(b)
+        if wp is not None:
+            return {**out, "container": "webp", "codec": wp["codec"],
+                    "width": wp["width"], "height": wp["height"],
                     "n_frames": 1}
         if avi.is_avi(b):
             info = avi.avi_info(b)

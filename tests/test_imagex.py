@@ -1,0 +1,72 @@
+"""functions/imagex.py — BMP decode + TIFF/WebP probes (r5) and the
+multimodal dispatch for all three."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mentor_rdf_parsers_spark.functions import imagex
+
+
+class TestBmp:
+    def test_rgb_roundtrip_exact(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (21, 37, 3)).astype(np.uint8)
+        out = imagex.decode_bmp(imagex.encode_bmp(img))
+        np.testing.assert_array_equal(out, img)
+
+    def test_gray_expands(self):
+        g = np.arange(0, 150, dtype=np.uint8).reshape(10, 15)
+        out = imagex.decode_bmp(imagex.encode_bmp(g))
+        np.testing.assert_array_equal(out, np.stack([g] * 3, axis=2))
+
+    def test_row_padding_widths(self):
+        # strides land on all four 4-byte alignment cases
+        for w in (5, 6, 7, 8):
+            img = np.full((3, w, 3), 99, np.uint8)
+            assert imagex.decode_bmp(imagex.encode_bmp(img)).shape == (3, w, 3)
+
+    def test_rejects(self):
+        assert not imagex.is_bmp(b"PNG")
+        with pytest.raises(ValueError):
+            imagex.decode_bmp(b"definitely not a bitmap")
+
+
+class TestTiffWebpProbes:
+    def test_tiff_both_byte_orders(self):
+        assert imagex.probe_tiff(imagex.make_tiff(640, 480)) == {
+            "width": 640, "height": 480}
+        assert imagex.probe_tiff(imagex.make_tiff(33, 44, big_endian=True)
+                                 ) == {"width": 33, "height": 44}
+        assert imagex.probe_tiff(b"II*\x00" + b"\xff" * 4) is None
+
+    def test_webp_vp8l(self):
+        p = imagex.probe_webp(imagex.make_webp_vp8l_header(320, 200))
+        assert p == {"width": 320, "height": 200, "codec": "vp8l"}
+        assert imagex.probe_webp(b"RIFF\x04\x00\x00\x00AVI ") is None
+
+
+class TestMultimodalDispatch:
+    def test_probe_one(self):
+        from mentor_rdf_parsers_spark.operators.multimodal import _probe_one
+
+        img = np.full((12, 30, 3), 42, np.uint8)
+        p = _probe_one(imagex.encode_bmp(img))
+        assert (p["container"], p["width"], p["height"]) == ("bmp", 30, 12)
+        p = _probe_one(imagex.make_tiff(100, 60))
+        assert (p["container"], p["width"], p["height"]) == ("tiff", 100, 60)
+        p = _probe_one(imagex.make_webp_vp8l_header(48, 32))
+        assert (p["container"], p["codec"], p["width"]) == (
+            "webp", "vp8l", 48)
+
+    def test_decode_image_real_bmp(self):
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _try_decode_image,
+        )
+
+        img = np.full((9, 13, 3), 7, np.uint8)
+        np.testing.assert_array_equal(
+            _try_decode_image(imagex.encode_bmp(img)), img)
+        # webp/tiff pixel decode honestly absent → falls to the fake
+        assert _try_decode_image(imagex.make_webp_vp8l_header(4, 4)) is None
