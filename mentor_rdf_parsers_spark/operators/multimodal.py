@@ -8,8 +8,8 @@ demuxed containers — AVI, MP4 and Matroska/WebM (r5) — decode for
 real**; MP3/ADTS-AAC/Ogg-Opus/Vorbis/FLAC get real
 header-derived durations; `probe_media` reports container/codec/dims/
 duration for every format from native header walks
-(functions/{png,jpeg,avi,mp4,ebml,adpcm,mpegaudio}.py — pure stdlib +
-numpy, no PIL/ffmpeg). The remaining honest boundary is compressed
+(functions/{png,jpeg,gif,imagex,avi,mp4,ebml,adpcm,mpegaudio,oggflac}.py
+— pure stdlib + numpy, no PIL/ffmpeg). The remaining honest boundary is compressed
 ESSENCE that genuinely requires codec libraries (h264/vp9/av1 frames,
 MP3/AAC/opus samples): those keep clearly-marked deterministic fakes,
 and `strict_codecs=True` raises `NotImplementedError` up front to
