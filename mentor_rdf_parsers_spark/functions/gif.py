@@ -115,8 +115,9 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
+                if len(table) < 4096:  # deferred-clear: table freezes
+                    table.append(prev + entry[:1])
+            elif code == len(table) and code < 4096:
                 entry = prev + prev[:1]
                 table.append(entry)
             else:

@@ -72,6 +72,55 @@ class TestRoundTrip:
         with pytest.raises(ValueError):
             gif.decode_gif(b"plainly not a gif")
 
+    def test_deferred_clear_stream(self):
+        """Encoders may FREEZE the LZW table at 4096 codes instead of
+        emitting a clear ('deferred clear'); the decoder must freeze in
+        lockstep or every later code is misaligned."""
+        rng = np.random.default_rng(21)
+        h, w = 96, 128  # enough pixels to exhaust 4096 codes
+        idx = rng.integers(0, 252, h * w).astype(np.uint8)
+
+        # inline deferred-clear encoder: same as gif._lzw_encode but
+        # freezes instead of clearing at 4096
+        clear, eoi = 256, 257
+        table = {bytes([c]): c for c in range(256)}
+        next_code = eoi + 1
+        width = 9
+        out = bytearray()
+        acc = nbits = 0
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        prev = b""
+        for c in idx.tobytes():
+            cur = prev + bytes([c])
+            if cur in table:
+                prev = cur
+                continue
+            emit(table[prev])
+            if next_code < 4096:
+                table[cur] = next_code
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+                next_code += 1
+            prev = bytes([c])
+        emit(table[prev])
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        assert next_code == 4096  # the deferred regime was actually hit
+
+        decoded = gif._lzw_decode(8, bytes(out), h * w)
+        np.testing.assert_array_equal(decoded, idx)
+
     def test_truncation_never_hangs(self):
         data = gif.encode_gif([_grid_image(16, 16, s) for s in range(2)])
         for cut in range(1, len(data), max(1, len(data) // 30)):
