@@ -84,6 +84,57 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + pixels
 
 
+# ---------------------------------------------------------------- netpbm
+
+def is_pnm(data: bytes) -> bool:
+    return len(data) > 2 and data[0:1] == b"P" and data[1:2] in b"56"
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Binary netpbm: P5 (gray) / P6 (RGB), 8-bit maxval → (H, W, C)
+    uint8. Header = magic, whitespace/comment-separated width, height,
+    maxval, one whitespace byte, then raw samples."""
+    if not is_pnm(data):
+        raise ValueError("not a binary PGM/PPM (bad magic)")
+    fields = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i] == ord("#"):  # comment to EOL
+            while i < len(data) and data[i] not in b"\r\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("PNM: truncated header")
+        fields.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"PNM: maxval {maxval} (only 8-bit)")
+    ch = 3 if data[1:2] == b"6" else 1
+    need = w * h * ch
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=i)
+    if len(px) < need:
+        raise ValueError("PNM: truncated pixel data")
+    arr = px.reshape(h, w, ch)
+    return np.repeat(arr, 3, axis=2) if ch == 1 else arr
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """uint8 (H, W) → P5, (H, W, 3) → P6."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    magic = b"P6" if a.ndim == 3 else b"P5"
+    h, w = a.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
 # ----------------------------------------------------------------- TIFF
 
 def probe_tiff(data: bytes) -> Optional[dict]:

@@ -74,7 +74,7 @@ FRAME = StructType(
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """STUB: deterministic fake for image formats without a native
-    decoder (no PIL in container; PNG and baseline JPEG DO decode for
+    decoder (no PIL in container; PNG/JPEG/GIF/BMP/netpbm DO decode for
     real — see _try_decode_image). Derives a stable (width, height)
     from the byte digest so tests are reproducible. Replace body with
     `PIL.Image.open(io.BytesIO(...))`."""
@@ -83,10 +83,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 
 
 def _try_decode_image(payload: bytes):
-    """REAL decode for PNG and baseline-JPEG payloads (functions/png.py,
-    functions/jpeg.py — stdlib + numpy, no external codec). Returns the
-    pixel array or None for other formats / unsupported variants (those
-    fall through to the fake)."""
+    """REAL decode for PNG (all variants), JPEG (baseline +
+    progressive), GIF (first frame), BMP and netpbm payloads
+    (functions/{png,jpeg,gif,imagex}.py — stdlib + numpy, no external
+    codec). Returns the pixel array or None for other formats /
+    unsupported variants (those fall through to the fake)."""
     from ..functions import jpeg, png
 
     try:
@@ -100,6 +101,8 @@ def _try_decode_image(payload: bytes):
             return gif.decode_gif(payload)  # first frame
         if imagex.is_bmp(payload):
             return imagex.decode_bmp(payload)
+        if imagex.is_pnm(payload):
+            return imagex.decode_pnm(payload)
     except (NotImplementedError, ValueError, IndexError):
         pass  # arithmetic-coded / RLE-BMP / corrupt → stub path
     return None
@@ -142,11 +145,11 @@ def decode_images(
 ) -> DataFrame:
     """media(kind='image') → IMAGE_META via mapInPandas.
 
-    PNG and baseline-JPEG payloads decode for REAL (true width/height,
-    classical pixel features); other formats use the deterministic
-    fake. `strict_codecs=True` raises NotImplementedError up front (for
-    environments where general-purpose codecs beyond PNG/JPEG are
-    required)."""
+    PNG, JPEG (baseline + progressive), GIF, BMP and netpbm payloads
+    decode for REAL (true width/height, classical pixel features);
+    other formats use the deterministic fake. `strict_codecs=True`
+    raises NotImplementedError up front (for environments where
+    general-purpose codecs beyond these are required)."""
     if strict_codecs:
         raise NotImplementedError(
             "general image decode requires PIL/torchvision — not present "
@@ -302,10 +305,9 @@ def resize_images(
     """media(kind='image') → aspect-fit resized rows via mapInPandas.
 
     The aspect-fit arithmetic (scale = min(tw/w, th/h), never upscale)
-    is real for every format. PNG and baseline-JPEG payloads get a REAL
-    thumbnail: decode → nearest-neighbor resample → re-encode as PNG
-    (functions/png.py, functions/jpeg.py). Other payloads keep the
-    digest-derived
+    is real for every format. PNG/JPEG/GIF/BMP/netpbm payloads get a
+    REAL thumbnail: decode → nearest-neighbor resample → re-encode as
+    PNG. Other payloads keep the digest-derived
     stand-in payload sized ∝ out_w·out_h so downstream batch-shape
     accounting behaves like a real thumbnail stage."""
     if strict_codecs:
@@ -546,6 +548,12 @@ def _probe_one(b: bytes) -> dict:
             w, h = _s.unpack("<ii", b[18:26])
             return {**out, "container": "bmp", "codec": "bmp",
                     "width": w, "height": abs(h), "n_frames": 1}
+        if imagex.is_pnm(b):
+            arr = imagex.decode_pnm(b)
+            return {**out, "container": "pnm",
+                    "codec": "ppm" if b[1:2] == b"6" else "pgm",
+                    "width": arr.shape[1], "height": arr.shape[0],
+                    "n_frames": 1}
         tp = imagex.probe_tiff(b)
         if tp is not None:
             return {**out, "container": "tiff", "codec": "tiff",

@@ -33,6 +33,43 @@ class TestBmp:
             imagex.decode_bmp(b"definitely not a bitmap")
 
 
+class TestPnm:
+    def test_ppm_roundtrip_exact(self):
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+        out = imagex.decode_pnm(imagex.encode_pnm(img))
+        np.testing.assert_array_equal(out, img)
+
+    def test_pgm_expands_to_rgb(self):
+        g = np.arange(0, 120, dtype=np.uint8).reshape(8, 15)
+        out = imagex.decode_pnm(imagex.encode_pnm(g))
+        np.testing.assert_array_equal(out, np.stack([g] * 3, axis=2))
+
+    def test_comment_in_header(self):
+        img = np.full((4, 6, 3), 9, np.uint8)
+        data = imagex.encode_pnm(img).replace(
+            b"\n255\n", b"\n# a comment line\n255\n")
+        np.testing.assert_array_equal(imagex.decode_pnm(data), img)
+
+    def test_probe_and_decode_dispatch(self):
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _probe_one,
+            _try_decode_image,
+        )
+
+        img = np.full((7, 11, 3), 3, np.uint8)
+        data = imagex.encode_pnm(img)
+        p = _probe_one(data)
+        assert (p["container"], p["codec"], p["width"], p["height"]) == (
+            "pnm", "ppm", 11, 7)
+        np.testing.assert_array_equal(_try_decode_image(data), img)
+
+    def test_rejects(self):
+        assert not imagex.is_pnm(b"P3\n...")  # ASCII variants out of scope
+        with pytest.raises(ValueError):
+            imagex.decode_pnm(b"P6\n4 4\n255")  # truncated
+
+
 class TestTiffWebpProbes:
     def test_tiff_both_byte_orders(self):
         assert imagex.probe_tiff(imagex.make_tiff(640, 480)) == {
