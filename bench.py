@@ -113,6 +113,10 @@ def main() -> None:
         # parse) and AQE is auto-resolved for the fixpoint rounds;
         # sf0.1 171.7 s (r3) -> 95.3 s (r4 representative bench)
         "kg_n3_entailment",
+        # since r5: the faceted media query (fake-decode facet + ten
+        # real muxed-and-probed container kinds) — the multimodal
+        # mapInPandas path under time, not just under correctness
+        "media_decode",
     ]
     env_q = os.environ.get("SPARK_GRAFT_QUERIES")
     if env_q is None:
