@@ -93,6 +93,19 @@ def _iter_elements(data: bytes, start: int, end: int):
         i = body_end
 
 
+def _iter_cluster_blocks(data: bytes, start: int, end: int):
+    """Yield (body_start, body_end) of every SimpleBlock in a cluster
+    body, recursing into nested Cluster elements — which occur when a
+    live-streamed file writes clusters with UNKNOWN size (the previous
+    cluster's span then runs to segment end and swallows its successors
+    as apparent children)."""
+    for eid, b, e in _iter_elements(data, start, end):
+        if eid == _SIMPLE_BLOCK:
+            yield b, e
+        elif eid == _CLUSTER:
+            yield from _iter_cluster_blocks(data, b, e)
+
+
 def _uint(data: bytes, b: int, e: int) -> int:
     return int.from_bytes(data[b:e], "big")
 
@@ -134,9 +147,8 @@ def parse_matroska(data: bytes) -> dict:
                             out["tracks"].append(
                                 _parse_track(data, b3, e3))
                 elif eid2 == _CLUSTER:
-                    for eid3, _b3, _e3 in _iter_elements(data, b2, e2):
-                        if eid3 == _SIMPLE_BLOCK:
-                            out["n_blocks"] += 1
+                    for _b3, _e3 in _iter_cluster_blocks(data, b2, e2):
+                        out["n_blocks"] += 1
     out["duration_ms"] = int(duration_ticks * tc_scale / 1_000_000)
     return out
 
@@ -177,9 +189,7 @@ def iter_blocks(data: bytes, track_number: int) -> Iterator[bytes]:
         for eid2, b2, e2 in _iter_elements(data, b, e):
             if eid2 != _CLUSTER:
                 continue
-            for eid3, b3, e3 in _iter_elements(data, b2, e2):
-                if eid3 != _SIMPLE_BLOCK:
-                    continue
+            for b3, e3 in _iter_cluster_blocks(data, b2, e2):
                 tn, j = _read_size(data, b3)  # track number: size-coded vint
                 if tn != track_number:
                     continue

@@ -122,6 +122,42 @@ class TestMatroska:
         assert out == frames
         assert jpeg.decode_jpeg(out[0]).shape == (24, 40, 1)
 
+    def test_unknown_size_cluster_stream(self):
+        """Live-streamed WebM writes clusters with UNKNOWN size; the
+        first such cluster's span runs to segment end and swallows its
+        successors — the walker must recurse to find their blocks."""
+        import struct
+
+        frames = _frames(4, h=8, w=8)
+
+        def block(i, f):
+            return ebml._el(
+                ebml._SIMPLE_BLOCK,
+                ebml._vint(1) + struct.pack(">h", i * 100)
+                + bytes([0x80]) + f)
+
+        c1_body = (ebml._el_uint(ebml._TIMECODE, 0)
+                   + block(0, frames[0]) + block(1, frames[1]))
+        c1 = ebml._eid(ebml._CLUSTER) + b"\xff" + c1_body  # unknown size
+        c2 = ebml._el(ebml._CLUSTER, ebml._el_uint(ebml._TIMECODE, 200)
+                      + block(2, frames[2]) + block(3, frames[3]))
+        video = ebml._el(ebml._VIDEO, ebml._el_uint(ebml._PIXEL_W, 8)
+                         + ebml._el_uint(ebml._PIXEL_H, 8))
+        tracks = ebml._el(ebml._TRACKS, ebml._el(
+            ebml._TRACK_ENTRY,
+            ebml._el_uint(ebml._TRACK_NUMBER, 1)
+            + ebml._el_uint(ebml._TRACK_TYPE, 1)
+            + ebml._el(ebml._CODEC_ID, b"V_MJPEG") + video))
+        info = ebml._el(ebml._INFO,
+                        ebml._el_uint(ebml._TIMECODE_SCALE, 1_000_000)
+                        + ebml._el(ebml._DURATION,
+                                   struct.pack(">d", 400.0)))
+        data = (ebml._el(ebml._EBML, ebml._el(ebml._DOCTYPE, b"matroska"))
+                + ebml._el(ebml._SEGMENT, info + tracks + c1 + c2))
+        meta = ebml.parse_matroska(data)
+        assert meta["n_blocks"] == 4
+        assert list(ebml.iter_blocks(data, 1)) == frames
+
     def test_other_track_numbers_skipped(self):
         data = ebml.encode_mkv_mjpeg(_frames(3), fps=4)
         assert list(ebml.iter_blocks(data, 2)) == []
