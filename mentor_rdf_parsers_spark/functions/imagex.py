@@ -137,8 +137,8 @@ def encode_pnm(arr: np.ndarray) -> bytes:
 
 # ----------------------------------------------------------------- TIFF
 
-def probe_tiff(data: bytes) -> Optional[dict]:
-    """First IFD's ImageWidth/ImageLength (tags 256/257)."""
+def _tiff_ifd(data: bytes) -> Optional[tuple[str, dict]]:
+    """(byte-order char, {tag: [values]}) for the first IFD."""
     if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
         return None
     bo = "<" if data[:2] == b"II" else ">"
@@ -146,24 +146,110 @@ def probe_tiff(data: bytes) -> Optional[dict]:
     if ifd_off + 2 > len(data):
         return None
     (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
-    width = height = None
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
     for k in range(n_entries):
         e = ifd_off + 2 + 12 * k
         if e + 12 > len(data):
             return None
         tag, typ = struct.unpack(bo + "HH", data[e : e + 4])
-        if tag in (256, 257):
-            if typ == 3:  # SHORT
-                (v,) = struct.unpack(bo + "H", data[e + 8 : e + 10])
-            else:  # LONG
-                (v,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
-            if tag == 256:
-                width = v
-            else:
-                height = v
-    if width is None or height is None:
+        (count,) = struct.unpack(bo + "I", data[e + 4 : e + 8])
+        if typ not in sizes or count == 0 or count > 1 << 20:
+            continue
+        nbytes = sizes[typ] * count
+        if nbytes <= 4:
+            off = e + 8
+        else:
+            (off,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
+        if off + nbytes > len(data):
+            continue
+        tags[tag] = list(struct.unpack(
+            bo + "%d%s" % (count, fmts[typ]), data[off : off + nbytes]))
+    return bo, tags
+
+
+def probe_tiff(data: bytes) -> Optional[dict]:
+    """First IFD's ImageWidth/ImageLength (tags 256/257)."""
+    parsed = _tiff_ifd(data)
+    if parsed is None:
         return None
-    return {"width": width, "height": height}
+    _bo, tags = parsed
+    if 256 not in tags or 257 not in tags:
+        return None
+    return {"width": tags[256][0], "height": tags[257][0]}
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Uncompressed (Compression=1) strip-based 8-bit gray/RGB TIFF →
+    (H, W, 3) uint8. LZW/JPEG/deflate-in-TIFF stay behind the stub
+    boundary (NotImplementedError names the compression)."""
+    parsed = _tiff_ifd(data)
+    if parsed is None:
+        raise ValueError("not a TIFF")
+    _bo, tags = parsed
+    if 256 not in tags or 257 not in tags or 273 not in tags:
+        raise ValueError("TIFF: missing dimension/strip tags")
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF: compression {comp} needs a codec")
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF: {bits}-bit samples")
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, [len(bits)])[0]
+    if spp not in (1, 3):
+        raise NotImplementedError(f"TIFF: {spp} samples/pixel")
+    offsets = tags[273]
+    counts = tags.get(279, [w * h * spp])
+    buf = bytearray()
+    for off, cnt in zip(offsets, counts):
+        buf += data[off : off + cnt]
+    need = w * h * spp
+    if len(buf) < need:
+        raise ValueError("TIFF: truncated strip data")
+    arr = np.frombuffer(bytes(buf), dtype=np.uint8, count=need).reshape(
+        h, w, spp)
+    return np.repeat(arr, 3, axis=2) if spp == 1 else arr
+
+
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """uint8 (H, W) or (H, W, 3) → uncompressed little-endian TIFF
+    (one strip)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    h, w = a.shape[:2]
+    spp = 3 if a.ndim == 3 else 1
+    pixels = a.tobytes()
+    # layout: header(8) + pixel data + BitsPerSample array + IFD
+    pix_off = 8
+    bps_off = pix_off + len(pixels)
+    ifd_off = bps_off + (2 * spp if spp > 1 else 0)
+    entries = []
+
+    def ent(tag, typ, count, value):
+        entries.append(struct.pack("<HHI", tag, typ, count)
+                       + struct.pack("<I", value))
+
+    ent(256, 4, 1, w)
+    ent(257, 4, 1, h)
+    if spp == 1:
+        ent(258, 3, 1, 8)
+    else:
+        ent(258, 3, 3, bps_off)
+    ent(259, 3, 1, 1)              # uncompressed
+    ent(262, 3, 1, 2 if spp == 3 else 1)  # photometric
+    ent(273, 4, 1, pix_off)        # strip offset
+    ent(277, 3, 1, spp)
+    ent(278, 4, 1, h)              # rows per strip
+    ent(279, 4, 1, len(pixels))    # strip byte count
+    ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
+           + struct.pack("<I", 0))
+    out = b"II*\x00" + struct.pack("<I", ifd_off) + pixels
+    if spp > 1:
+        out += struct.pack("<HHH", 8, 8, 8)[: 2 * spp]
+    return out + ifd
 
 
 def make_tiff(width: int, height: int, big_endian: bool = False) -> bytes:

@@ -103,8 +103,10 @@ def _try_decode_image(payload: bytes):
             return imagex.decode_bmp(payload)
         if imagex.is_pnm(payload):
             return imagex.decode_pnm(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return imagex.decode_tiff(payload)  # uncompressed strips
     except (NotImplementedError, ValueError, IndexError):
-        pass  # arithmetic-coded / RLE-BMP / corrupt → stub path
+        pass  # arithmetic/LZW-compressed / RLE-BMP / corrupt → stub path
     return None
 
 

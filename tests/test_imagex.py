@@ -70,6 +70,38 @@ class TestPnm:
             imagex.decode_pnm(b"P6\n4 4\n255")  # truncated
 
 
+class TestTiffDecode:
+    def test_uncompressed_rgb_roundtrip(self):
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (19, 27, 3)).astype(np.uint8)
+        out = imagex.decode_tiff(imagex.encode_tiff(img))
+        np.testing.assert_array_equal(out, img)
+
+    def test_gray_expands(self):
+        g = np.arange(0, 143, dtype=np.uint8).reshape(11, 13)
+        out = imagex.decode_tiff(imagex.encode_tiff(g))
+        np.testing.assert_array_equal(out, np.stack([g] * 3, axis=2))
+
+    def test_compressed_rejected_by_name(self):
+        data = bytearray(imagex.encode_tiff(np.zeros((4, 4), np.uint8)))
+        # flip the Compression tag value (259) to 5 = LZW
+        i = data.find(b"\x03\x01\x03\x00")  # tag 259, type SHORT (LE)
+        data[i + 8] = 5
+        with pytest.raises(NotImplementedError, match="compression 5"):
+            imagex.decode_tiff(bytes(data))
+
+    def test_image_path_dispatch(self):
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _try_decode_image,
+        )
+
+        img = np.full((6, 9, 3), 77, np.uint8)
+        np.testing.assert_array_equal(
+            _try_decode_image(imagex.encode_tiff(img)), img)
+        # dimension-only fixture (no strips) falls through to the fake
+        assert _try_decode_image(imagex.make_tiff(5, 6)) is None
+
+
 class TestTiffWebpProbes:
     def test_tiff_both_byte_orders(self):
         assert imagex.probe_tiff(imagex.make_tiff(640, 480)) == {
