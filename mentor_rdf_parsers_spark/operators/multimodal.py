@@ -393,15 +393,21 @@ def _try_decode_wav(payload: bytes):
 
 
 def _try_decode_audio(payload: bytes):
-    """REAL decode for PCM WAV (stdlib ``wave``) and IMA ADPCM WAV
-    (functions/adpcm.py — the one genuinely compressed audio format with
-    a published table-driven decode that needs no external codec).
-    Returns (duration_ms, samples, rate) or None (→ stub path)."""
+    """REAL decode for PCM WAV (stdlib ``wave``), IEEE-float WAV and
+    G.711 A-law/µ-law WAV (functions/g711.py — closed-form segment
+    expansion), and IMA ADPCM WAV (functions/adpcm.py — published
+    table-driven decode). Returns (duration_ms, samples, rate) or None
+    (→ stub path)."""
     wav = _try_decode_wav(payload)
     if wav is not None:
         return wav
-    from ..functions import adpcm
+    from ..functions import adpcm, g711
 
+    if len(payload) >= 12 and payload[:4] == b"RIFF" \
+            and payload[8:12] == b"WAVE":
+        ext = g711.decode_wav_ext(payload)
+        if ext is not None:
+            return ext
     if adpcm.is_ima_adpcm_wav(payload):
         try:
             samples, rate = adpcm.decode_ima_wav(payload)

@@ -283,6 +283,81 @@ class TestProbeMedia:
         assert got["unk"]["codec"] is None
 
 
+class TestG711AndFloatWav:
+    """IEEE-float and G.711 companded WAV (functions/g711.py) — the
+    speech-corpus formats stdlib `wave` rejects."""
+
+    @staticmethod
+    def _sig(n=8000):
+        return (0.8 * np.sin(2 * np.pi * 440 * np.linspace(0, 1, n))
+                ).astype(np.float32)
+
+    def test_g711_tables_match_canonical(self):
+        from mentor_rdf_parsers_spark.functions import g711
+
+        def alaw2linear(a):
+            a ^= 0x55
+            t = (a & 0xF) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            return t if (a & 0x80) else -t
+
+        def ulaw2linear(u):
+            u = ~u & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            t -= 0x84
+            return -t if (u & 0x80) else t
+
+        codes = np.arange(256, dtype=np.uint8)
+        assert np.allclose(g711.decode_alaw(codes) * 32768.0,
+                           [alaw2linear(int(c)) for c in codes])
+        assert np.allclose(g711.decode_mulaw(codes) * 32768.0,
+                           [ulaw2linear(int(c)) for c in codes])
+
+    def test_companding_roundtrip_within_quantization(self):
+        from mentor_rdf_parsers_spark.functions import g711
+
+        sig = self._sig()
+        mu = g711.decode_mulaw(
+            np.frombuffer(g711.encode_mulaw(sig), np.uint8))
+        al = g711.decode_alaw(
+            np.frombuffer(g711.encode_alaw(sig), np.uint8))
+        assert float(np.abs(mu - sig).max()) < 0.02
+        assert float(np.abs(al - sig).max()) < 0.02
+
+    def test_wav_ext_decode_paths(self):
+        from mentor_rdf_parsers_spark.functions import g711
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _try_decode_audio,
+        )
+
+        sig = self._sig()
+        cases = [
+            (g711.make_wav(sig.astype("<f4").tobytes(), 3, 1, 8000, 32),
+             0.0),
+            (g711.make_wav(g711.encode_mulaw(np.repeat(sig, 2)), 7, 2,
+                           8000, 8), 0.02),
+            (g711.make_wav(g711.encode_alaw(sig), 6, 1, 8000, 8), 0.02),
+        ]
+        for payload, tol in cases:
+            got = _try_decode_audio(payload)
+            assert got is not None
+            dur, s, rate = got
+            assert (dur, rate, len(s)) == (1000, 8000, 8000)
+            assert float(np.abs(s - sig).max()) <= tol
+
+    def test_pcm_stays_on_wave_path(self):
+        from mentor_rdf_parsers_spark.functions import g711
+
+        assert g711.decode_wav_ext(
+            g711.make_wav(b"\x00\x00" * 50, 1, 1, 8000, 16)) is None
+
+
 class TestOggFlac:
     def test_opus_duration(self):
         from mentor_rdf_parsers_spark.functions import oggflac
