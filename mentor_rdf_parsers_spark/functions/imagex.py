@@ -180,10 +180,30 @@ def probe_tiff(data: bytes) -> Optional[dict]:
     return {"width": tags[256][0], "height": tags[257][0]}
 
 
+def _packbits(src: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 → copy n+1 literal bytes;
+    n in -127..-1 → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(src):
+        n = src[i] - 256 if src[i] > 127 else src[i]
+        i += 1
+        if n >= 0:
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += src[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Uncompressed (Compression=1) strip-based 8-bit gray/RGB TIFF →
-    (H, W, 3) uint8. LZW/JPEG/deflate-in-TIFF stay behind the stub
-    boundary (NotImplementedError names the compression)."""
+    """Strip-based 8-bit gray/RGB TIFF → (H, W, 3) uint8. Handles
+    Compression 1 (none), 8/32946 (zlib deflate — stdlib) and 32773
+    (PackBits RLE); LZW/JPEG-in-TIFF stay behind the stub boundary
+    (NotImplementedError names the compression)."""
+    import zlib
+
     parsed = _tiff_ifd(data)
     if parsed is None:
         raise ValueError("not a TIFF")
@@ -191,7 +211,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if 256 not in tags or 257 not in tags or 273 not in tags:
         raise ValueError("TIFF: missing dimension/strip tags")
     comp = tags.get(259, [1])[0]
-    if comp != 1:
+    if comp not in (1, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF: compression {comp} needs a codec")
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):
@@ -204,7 +224,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = tags.get(279, [w * h * spp])
     buf = bytearray()
     for off, cnt in zip(offsets, counts):
-        buf += data[off : off + cnt]
+        strip = data[off : off + cnt]
+        if comp in (8, 32946):
+            strip = zlib.decompress(strip)
+        elif comp == 32773:
+            strip = _packbits(strip)
+        buf += strip
     need = w * h * spp
     if len(buf) < need:
         raise ValueError("TIFF: truncated strip data")
@@ -213,15 +238,28 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return np.repeat(arr, 3, axis=2) if spp == 1 else arr
 
 
-def encode_tiff(arr: np.ndarray) -> bytes:
-    """uint8 (H, W) or (H, W, 3) → uncompressed little-endian TIFF
-    (one strip)."""
+def encode_tiff(arr: np.ndarray, compression: int = 1) -> bytes:
+    """uint8 (H, W) or (H, W, 3) → little-endian TIFF (one strip).
+    ``compression``: 1 = none, 8 = zlib deflate, 32773 = PackBits
+    (all-literal runs — valid, exercises the decode path)."""
+    import zlib
+
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
     h, w = a.shape[:2]
     spp = 3 if a.ndim == 3 else 1
     pixels = a.tobytes()
+    if compression == 8:
+        pixels = zlib.compress(pixels, 6)
+    elif compression == 32773:
+        enc = bytearray()
+        for i in range(0, len(pixels), 128):
+            chunk = pixels[i : i + 128]
+            enc += bytes([len(chunk) - 1]) + chunk
+        pixels = bytes(enc)
+    elif compression != 1:
+        raise ValueError(f"encode_tiff: compression {compression}")
     # layout: header(8) + pixel data + BitsPerSample array + IFD
     pix_off = 8
     bps_off = pix_off + len(pixels)
@@ -238,7 +276,7 @@ def encode_tiff(arr: np.ndarray) -> bytes:
         ent(258, 3, 1, 8)
     else:
         ent(258, 3, 3, bps_off)
-    ent(259, 3, 1, 1)              # uncompressed
+    ent(259, 3, 1, compression)
     ent(262, 3, 1, 2 if spp == 3 else 1)  # photometric
     ent(273, 4, 1, pix_off)        # strip offset
     ent(277, 3, 1, spp)

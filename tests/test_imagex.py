@@ -82,7 +82,20 @@ class TestTiffDecode:
         out = imagex.decode_tiff(imagex.encode_tiff(g))
         np.testing.assert_array_equal(out, np.stack([g] * 3, axis=2))
 
-    def test_compressed_rejected_by_name(self):
+    def test_deflate_and_packbits_strips(self):
+        """Compression 8 (zlib — stdlib) and 32773 (PackBits RLE)
+        decode for real; only LZW/JPEG-in-TIFF need a codec library."""
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (23, 31, 3)).astype(np.uint8)
+        for comp in (8, 32773):
+            out = imagex.decode_tiff(imagex.encode_tiff(img,
+                                                        compression=comp))
+            np.testing.assert_array_equal(out, img)
+        # PackBits repeat runs (the encoder only emits literals)
+        assert imagex._packbits(bytes([0xFD, 7])) == bytes([7] * 4)
+        assert imagex._packbits(bytes([0x02, 1, 2, 3])) == bytes([1, 2, 3])
+
+    def test_lzw_rejected_by_name(self):
         data = bytearray(imagex.encode_tiff(np.zeros((4, 4), np.uint8)))
         # flip the Compression tag value (259) to 5 = LZW
         i = data.find(b"\x03\x01\x03\x00")  # tag 259, type SHORT (LE)
