@@ -1,10 +1,11 @@
 """BMP decode + TIFF/WebP header probes — pure stdlib + numpy.
 
 Completes the image-format long tail for the multimodal operators:
-uncompressed BMP (the one remaining common format with a codec-free
-pixel layout) decodes for real; TIFF and WebP get header-only probes
-(dimensions) — their pixel payloads (LZW/JPEG-in-TIFF, VP8/VP8L) stay
-behind the documented stub boundary.
+BMP, binary netpbm and strip-based TIFF (none/LZW/deflate/PackBits
+compression — LZW is the hand-rolled TIFF variant with EarlyChange,
+deflate is stdlib zlib) decode for real; WebP gets a header-only
+dimension probe — VP8/VP8L pixel payloads stay behind the documented
+stub boundary, as does JPEG-in-TIFF.
 
 Layouts per the public specs: BITMAPINFOHEADER, TIFF 6.0 IFDs, and
 the WebP container (VP8 keyframe header / VP8L signature / VP8X
@@ -180,6 +181,105 @@ def probe_tiff(data: bytes) -> Optional[dict]:
     return {"width": tags[256][0], "height": tags[257][0]}
 
 
+def _lzw_width(next_code: int) -> int:
+    """TIFF EarlyChange code width for the given next-free entry
+    number: the switch happens at 511/1023/2047 — one code earlier
+    than information-theoretically required (TIFF6 §13 / libtiff)."""
+    if next_code <= 510:
+        return 9
+    if next_code <= 1022:
+        return 10
+    if next_code <= 2046:
+        return 11
+    return 12
+
+
+def _tiff_lzw(src: bytes) -> bytes:
+    """TIFF-variant LZW (Compression 5): MSB-first code packing,
+    8-bit symbols, Clear=256/EOI=257, EarlyChange widths. The decoder
+    is one table entry behind the encoder, so it reads each code at
+    ``_lzw_width(len(table) + 1)`` — that +1 is exactly the
+    compensation the early switch exists for."""
+    out = bytearray()
+    base = [bytes([c]) for c in range(256)] + [b"", b""]
+    table = list(base)
+    acc = 0
+    nbits = 0
+    prev = None
+    i = 0
+    n = len(src)
+    while True:
+        width = _lzw_width(len(table) + 1)
+        while nbits < width:
+            if i >= n:
+                return bytes(out)  # no EOI: tolerate truncation at a boundary
+            acc = (acc << 8) | src[i]
+            i += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # clear
+            table = list(base)
+            prev = None
+            continue
+        if code == 257:  # EOI
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4094:  # encoder must clear before 4094
+                table.append(prev + entry[:1])
+        elif code == len(table) and code < 4094:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF: LZW code out of range")
+        out += entry
+        prev = entry
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW writer (the ``_tiff_lzw`` inverse): MSB-first,
+    EarlyChange widths, clear at table entry 4094 per spec."""
+    table = {bytes([c]): c for c in range(256)}
+    next_code = 258
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256, _lzw_width(next_code))  # clear
+    prev = b""
+    for c in data:
+        cur = prev + bytes([c])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], _lzw_width(next_code))
+        table[cur] = next_code
+        next_code += 1
+        prev = bytes([c])
+        if next_code == 4094:  # spec: clear before the table fills
+            emit(256, _lzw_width(next_code))
+            table = {bytes([k]): k for k in range(256)}
+            next_code = 258
+    if prev:
+        emit(table[prev], _lzw_width(next_code))
+        next_code += 1
+    emit(257, _lzw_width(next_code))
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _packbits(src: bytes) -> bytes:
     """TIFF PackBits (Apple RLE): n in 0..127 → copy n+1 literal bytes;
     n in -127..-1 → repeat next byte 1-n times; -128 is a no-op."""
@@ -199,8 +299,9 @@ def _packbits(src: bytes) -> bytes:
 
 def decode_tiff(data: bytes) -> np.ndarray:
     """Strip-based 8-bit gray/RGB TIFF → (H, W, 3) uint8. Handles
-    Compression 1 (none), 8/32946 (zlib deflate — stdlib) and 32773
-    (PackBits RLE); LZW/JPEG-in-TIFF stay behind the stub boundary
+    Compression 1 (none), 5 (LZW — the TIFF MSB-first variant with
+    EarlyChange), 8/32946 (zlib deflate — stdlib) and 32773 (PackBits
+    RLE); JPEG-in-TIFF stays behind the stub boundary
     (NotImplementedError names the compression)."""
     import zlib
 
@@ -211,7 +312,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if 256 not in tags or 257 not in tags or 273 not in tags:
         raise ValueError("TIFF: missing dimension/strip tags")
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 8, 32946, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF: compression {comp} needs a codec")
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):
@@ -227,6 +328,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         strip = data[off : off + cnt]
         if comp in (8, 32946):
             strip = zlib.decompress(strip)
+        elif comp == 5:
+            strip = _tiff_lzw(strip)
         elif comp == 32773:
             strip = _packbits(strip)
         buf += strip
@@ -240,8 +343,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 def encode_tiff(arr: np.ndarray, compression: int = 1) -> bytes:
     """uint8 (H, W) or (H, W, 3) → little-endian TIFF (one strip).
-    ``compression``: 1 = none, 8 = zlib deflate, 32773 = PackBits
-    (all-literal runs — valid, exercises the decode path)."""
+    ``compression``: 1 = none, 5 = LZW, 8 = zlib deflate,
+    32773 = PackBits (all-literal runs — valid, exercises the decode
+    path)."""
     import zlib
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -252,6 +356,8 @@ def encode_tiff(arr: np.ndarray, compression: int = 1) -> bytes:
     pixels = a.tobytes()
     if compression == 8:
         pixels = zlib.compress(pixels, 6)
+    elif compression == 5:
+        pixels = _tiff_lzw_encode(pixels)
     elif compression == 32773:
         enc = bytearray()
         for i in range(0, len(pixels), 128):

@@ -82,12 +82,13 @@ class TestTiffDecode:
         out = imagex.decode_tiff(imagex.encode_tiff(g))
         np.testing.assert_array_equal(out, np.stack([g] * 3, axis=2))
 
-    def test_deflate_and_packbits_strips(self):
-        """Compression 8 (zlib — stdlib) and 32773 (PackBits RLE)
-        decode for real; only LZW/JPEG-in-TIFF need a codec library."""
+    def test_compressed_strips(self):
+        """Compression 5 (LZW — TIFF MSB-first variant with
+        EarlyChange), 8 (zlib — stdlib) and 32773 (PackBits RLE)
+        decode for real; only JPEG-in-TIFF needs a codec library."""
         rng = np.random.default_rng(9)
         img = rng.integers(0, 256, (23, 31, 3)).astype(np.uint8)
-        for comp in (8, 32773):
+        for comp in (5, 8, 32773):
             out = imagex.decode_tiff(imagex.encode_tiff(img,
                                                         compression=comp))
             np.testing.assert_array_equal(out, img)
@@ -95,12 +96,23 @@ class TestTiffDecode:
         assert imagex._packbits(bytes([0xFD, 7])) == bytes([7] * 4)
         assert imagex._packbits(bytes([0x02, 1, 2, 3])) == bytes([1, 2, 3])
 
-    def test_lzw_rejected_by_name(self):
+    def test_lzw_width_boundaries_and_clear_cycle(self):
+        """LZW streams crossing every code-width switch (511/1023/2047)
+        and the 4094-entry clear."""
+        rng = np.random.default_rng(11)
+        for data in (
+            # noise fills the table every ~8 KB → several clear cycles
+            bytes(rng.integers(0, 256, 60000, dtype=np.uint8)),
+            np.repeat(rng.integers(0, 8, 1500), 50).astype(np.uint8).tobytes(),
+        ):
+            assert imagex._tiff_lzw(imagex._tiff_lzw_encode(data)) == data
+
+    def test_jpeg_in_tiff_rejected_by_name(self):
         data = bytearray(imagex.encode_tiff(np.zeros((4, 4), np.uint8)))
-        # flip the Compression tag value (259) to 5 = LZW
+        # flip the Compression tag value (259) to 7 = JPEG
         i = data.find(b"\x03\x01\x03\x00")  # tag 259, type SHORT (LE)
-        data[i + 8] = 5
-        with pytest.raises(NotImplementedError, match="compression 5"):
+        data[i + 8] = 7
+        with pytest.raises(NotImplementedError, match="compression 7"):
             imagex.decode_tiff(bytes(data))
 
     def test_image_path_dispatch(self):
