@@ -411,6 +411,91 @@ def make_tiff(width: int, height: int, big_endian: bool = False) -> bytes:
     return out
 
 
+# ------------------------------------------------------------------ ICO
+
+def is_ico(data: bytes) -> bool:
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        return False
+    (count,) = struct.unpack("<H", data[4:6])
+    return 0 < count <= 64 and len(data) >= 6 + 16 * count
+
+
+def probe_ico(data: bytes) -> Optional[dict]:
+    """Favicon container: entry count + the largest entry's dims."""
+    if not is_ico(data):
+        return None
+    (count,) = struct.unpack("<H", data[4:6])
+    best = (0, 0)
+    for k in range(count):
+        e = 6 + 16 * k
+        w = data[e] or 256  # 0 encodes 256
+        h = data[e + 1] or 256
+        if w * h > best[0] * best[1]:
+            best = (w, h)
+    return {"width": best[0], "height": best[1], "n_frames": count}
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """Decode the largest image in an ICO. PNG-compressed entries (the
+    modern favicon payload) decode via functions/png.py; classic DIB
+    entries decode through the BMP path (the DIB inside an ICO is a
+    headerless BMP whose height field counts image+mask)."""
+    if not is_ico(data):
+        raise ValueError("not an ICO")
+    (count,) = struct.unpack("<H", data[4:6])
+    best = None
+    for k in range(count):
+        e = 6 + 16 * k
+        w = data[e] or 256
+        h = data[e + 1] or 256
+        size, off = struct.unpack("<II", data[e + 8 : e + 16])
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, off, size)
+    w, h, off, size = best
+    payload = data[off : off + size]
+    from .png import decode_png, is_png
+
+    if is_png(payload):
+        return decode_png(payload)
+    # classic DIB: synthesize a BMP header; halve the doubled height
+    if len(payload) < 40:
+        raise ValueError("ICO: truncated DIB entry")
+    hdr = bytearray(payload[:40])
+    (dib_h,) = struct.unpack("<i", hdr[8:12])
+    struct.pack_into("<i", hdr, 8, dib_h // 2)
+    bmp = (b"BM" + struct.pack("<IHHI", 14 + len(payload), 0, 0,
+                               14 + 40 +
+                               _dib_palette_bytes(payload))
+           + bytes(hdr) + payload[40:])
+    arr = decode_bmp(bmp)
+    return arr[:h, :w]
+
+
+def _dib_palette_bytes(dib: bytes) -> int:
+    (bpp,) = struct.unpack("<H", dib[14:16])
+    if bpp > 8:
+        return 0
+    (n_colors,) = struct.unpack("<I", dib[32:36])
+    return 4 * (n_colors or (1 << bpp))
+
+
+def encode_ico(arr: np.ndarray) -> bytes:
+    """uint8 image → single-entry PNG-compressed ICO (the modern
+    favicon layout)."""
+    from .png import encode_png
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    if w > 256 or h > 256:
+        raise ValueError("ICO entries are at most 256x256")
+    png_bytes = encode_png(a)
+    entry = bytes([w % 256, h % 256, 0, 0]) + struct.pack(
+        "<HHII", 1, 32, len(png_bytes), 22)
+    return b"\x00\x00\x01\x00\x01\x00" + entry + png_bytes
+
+
 # ----------------------------------------------------------------- WebP
 
 def probe_webp(data: bytes) -> Optional[dict]:

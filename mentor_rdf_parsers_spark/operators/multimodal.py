@@ -104,7 +104,9 @@ def _try_decode_image(payload: bytes):
         if imagex.is_pnm(payload):
             return imagex.decode_pnm(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
-            return imagex.decode_tiff(payload)  # uncompressed strips
+            return imagex.decode_tiff(payload)  # none/LZW/deflate/PackBits
+        if imagex.is_ico(payload):
+            return imagex.decode_ico(payload)  # largest PNG/DIB entry
     except (NotImplementedError, ValueError, IndexError):
         pass  # arithmetic/LZW-compressed / RLE-BMP / corrupt → stub path
     return None
@@ -562,6 +564,11 @@ def _probe_one(b: bytes) -> dict:
                     "codec": "ppm" if b[1:2] == b"6" else "pgm",
                     "width": arr.shape[1], "height": arr.shape[0],
                     "n_frames": 1}
+        ip = imagex.probe_ico(b)
+        if ip is not None:
+            return {**out, "container": "ico", "codec": "ico",
+                    "width": ip["width"], "height": ip["height"],
+                    "n_frames": ip["n_frames"]}
         tp = imagex.probe_tiff(b)
         if tp is not None:
             return {**out, "container": "tiff", "codec": "tiff",

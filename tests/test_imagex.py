@@ -164,3 +164,43 @@ class TestMultimodalDispatch:
             _try_decode_image(imagex.encode_bmp(img)), img)
         # webp/tiff pixel decode honestly absent → falls to the fake
         assert _try_decode_image(imagex.make_webp_vp8l_header(4, 4)) is None
+
+
+class TestIco:
+    def test_png_entry_roundtrip(self):
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+        ico = imagex.encode_ico(img)
+        assert imagex.probe_ico(ico) == {"width": 48, "height": 32,
+                                         "n_frames": 1}
+        np.testing.assert_array_equal(imagex.decode_ico(ico), img)
+
+    def test_classic_dib_entry(self):
+        """Pre-PNG favicons store a headerless BMP whose height field
+        counts image + AND-mask rows."""
+        import struct
+
+        img = np.arange(32 * 48 * 3, dtype=np.uint8).reshape(32, 48, 3)
+        dib = bytearray(imagex.encode_bmp(img)[14:])
+        (h_,) = struct.unpack("<i", dib[8:12])
+        struct.pack_into("<i", dib, 8, h_ * 2)
+        entry = bytes([48, 32, 0, 0]) + struct.pack("<HHII", 1, 24,
+                                                    len(dib), 22)
+        ico = b"\x00\x00\x01\x00\x01\x00" + entry + bytes(dib)
+        np.testing.assert_array_equal(imagex.decode_ico(ico), img)
+
+    def test_multimodal_dispatch(self):
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _probe_one,
+            _try_decode_image,
+        )
+
+        img = np.full((16, 16, 3), 5, np.uint8)
+        ico = imagex.encode_ico(img)
+        p = _probe_one(ico)
+        assert (p["container"], p["width"], p["height"]) == ("ico", 16, 16)
+        np.testing.assert_array_equal(_try_decode_image(ico), img)
+
+    def test_rejects(self):
+        assert not imagex.is_ico(b"\x00\x00\x02\x00\x01\x00")  # CUR, not ICO
+        assert imagex.probe_ico(b"GIF89a") is None
