@@ -147,8 +147,8 @@ def _tiff_ifd(data: bytes) -> Optional[tuple[str, dict]]:
     if ifd_off + 2 > len(data):
         return None
     (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
-    sizes = {1: 1, 3: 2, 4: 4}
-    fmts = {1: "B", 3: "H", 4: "I"}
+    sizes = {1: 1, 3: 2, 4: 4, 7: 1}  # 7 = UNDEFINED (JPEGTables)
+    fmts = {1: "B", 3: "H", 4: "I", 7: "B"}
     tags: dict[int, list[int]] = {}
     for k in range(n_entries):
         e = ifd_off + 2 + 12 * k
@@ -300,9 +300,11 @@ def _packbits(src: bytes) -> bytes:
 def decode_tiff(data: bytes) -> np.ndarray:
     """Strip-based 8-bit gray/RGB TIFF → (H, W, 3) uint8. Handles
     Compression 1 (none), 5 (LZW — the TIFF MSB-first variant with
-    EarlyChange), 8/32946 (zlib deflate — stdlib) and 32773 (PackBits
-    RLE); JPEG-in-TIFF stays behind the stub boundary
-    (NotImplementedError names the compression)."""
+    EarlyChange), 8/32946 (zlib deflate — stdlib), 32773 (PackBits
+    RLE) and 7 (new-style JPEG — strips decode through
+    ``functions/jpeg.py``, with the shared-table stream from tag 347
+    JPEGTables spliced in per TIFF-TN2); only old-style Compression 6
+    stays behind the stub boundary (NotImplementedError names it)."""
     import zlib
 
     parsed = _tiff_ifd(data)
@@ -312,8 +314,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if 256 not in tags or 257 not in tags or 273 not in tags:
         raise ValueError("TIFF: missing dimension/strip tags")
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp not in (1, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF: compression {comp} needs a codec")
+    if comp == 7:
+        return _decode_tiff_jpeg(data, tags)
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF: {bits}-bit samples")
@@ -341,11 +345,45 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return np.repeat(arr, 3, axis=2) if spp == 1 else arr
 
 
+def _decode_tiff_jpeg(data: bytes, tags: dict) -> np.ndarray:
+    """Compression 7 (TIFF Technical Note 2 "new-style" JPEG): each
+    strip holds an entropy-coded JPEG stream; if tag 347 (JPEGTables)
+    is present it carries an abbreviated table stream (SOI,
+    DQT/DHT..., EOI) whose segments must be seen before each strip's
+    frame — splice tables[2:-2] after the strip's SOI. Strips decode
+    independently (each has its own SOF/SOS), are stacked in row
+    order, and the MCU-padded tail is cropped to ImageLength."""
+    from .jpeg import decode_jpeg
+
+    w, h = tags[256][0], tags[257][0]
+    offsets = tags[273]
+    counts = tags.get(279, [len(data) - offsets[0]])
+    tables = bytes(tags.get(347, []))
+    if tables and (tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9"):
+        raise ValueError("TIFF: malformed JPEGTables stream")
+    parts = []
+    for off, cnt in zip(offsets, counts):
+        strip = data[off : off + cnt]
+        if strip[:2] != b"\xff\xd8":
+            raise ValueError("TIFF: JPEG strip without SOI")
+        if tables:
+            strip = tables[:-2] + strip[2:]
+        arr = decode_jpeg(strip)
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        parts.append(arr[:, :w])
+    out = parts[0] if len(parts) == 1 else np.vstack(parts)
+    if out.shape[0] < h or out.shape[1] < w:
+        raise ValueError("TIFF: JPEG strips smaller than ImageLength")
+    return out[:h]
+
+
 def encode_tiff(arr: np.ndarray, compression: int = 1) -> bytes:
     """uint8 (H, W) or (H, W, 3) → little-endian TIFF (one strip).
-    ``compression``: 1 = none, 5 = LZW, 8 = zlib deflate,
-    32773 = PackBits (all-literal runs — valid, exercises the decode
-    path)."""
+    ``compression``: 1 = none, 5 = LZW, 7 = JPEG (a full interchange
+    stream in the strip — legal per TIFF-TN2, no JPEGTables needed),
+    8 = zlib deflate, 32773 = PackBits (all-literal runs — valid,
+    exercises the decode path)."""
     import zlib
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -358,6 +396,10 @@ def encode_tiff(arr: np.ndarray, compression: int = 1) -> bytes:
         pixels = zlib.compress(pixels, 6)
     elif compression == 5:
         pixels = _tiff_lzw_encode(pixels)
+    elif compression == 7:
+        from .jpeg import encode_jpeg
+
+        pixels = encode_jpeg(a, quality=95)
     elif compression == 32773:
         enc = bytearray()
         for i in range(0, len(pixels), 128):
@@ -383,7 +425,8 @@ def encode_tiff(arr: np.ndarray, compression: int = 1) -> bytes:
     else:
         ent(258, 3, 3, bps_off)
     ent(259, 3, 1, compression)
-    ent(262, 3, 1, 2 if spp == 3 else 1)  # photometric
+    # photometric: RGB=2 / gray=1; JPEG strips carry YCbCr (TN2) = 6
+    ent(262, 3, 1, (6 if compression == 7 else 2) if spp == 3 else 1)
     ent(273, 4, 1, pix_off)        # strip offset
     ent(277, 3, 1, spp)
     ent(278, 4, 1, h)              # rows per strip

@@ -104,7 +104,7 @@ def _try_decode_image(payload: bytes):
         if imagex.is_pnm(payload):
             return imagex.decode_pnm(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
-            return imagex.decode_tiff(payload)  # none/LZW/deflate/PackBits
+            return imagex.decode_tiff(payload)  # none/LZW/deflate/PackBits/JPEG
         if imagex.is_ico(payload):
             return imagex.decode_ico(payload)  # largest PNG/DIB entry
     except (NotImplementedError, ValueError, IndexError):
@@ -397,13 +397,14 @@ def _try_decode_wav(payload: bytes):
 def _try_decode_audio(payload: bytes):
     """REAL decode for PCM WAV (stdlib ``wave``), IEEE-float WAV and
     G.711 A-law/µ-law WAV (functions/g711.py — closed-form segment
-    expansion), and IMA ADPCM WAV (functions/adpcm.py — published
-    table-driven decode). Returns (duration_ms, samples, rate) or None
-    (→ stub path)."""
+    expansion), IMA ADPCM WAV (functions/adpcm.py — published
+    table-driven decode), and FLAC (functions/flac.py — RFC 9639
+    LPC + Rice bitstream, bit-exact, CRC-verified). Returns
+    (duration_ms, samples, rate) or None (→ stub path)."""
     wav = _try_decode_wav(payload)
     if wav is not None:
         return wav
-    from ..functions import adpcm, g711
+    from ..functions import adpcm, flac, g711
 
     if len(payload) >= 12 and payload[:4] == b"RIFF" \
             and payload[8:12] == b"WAVE":
@@ -416,6 +417,11 @@ def _try_decode_audio(payload: bytes):
         except ValueError:
             return None  # stereo / exotic nibble width → stub path
         return (int(len(samples) * 1000 / max(rate, 1)), samples, rate)
+    if flac.is_flac(payload):
+        try:
+            return flac.decode_flac_float(payload)
+        except ValueError:
+            return None  # corrupt/reserved-feature stream → stub path
     return None
 
 
@@ -463,22 +469,23 @@ def extract_audio_features(
 ) -> DataFrame:
     """media(kind='audio') → AUDIO_META via mapInPandas.
 
-    PCM WAV (stdlib ``wave``) and IMA ADPCM WAV (functions/adpcm.py —
-    a genuinely compressed format, 4 bits/sample) payloads decode for
-    REAL: true duration from the sample count, classical features (RMS,
-    zero-crossing rate, FFT band energies) from the actual samples.
-    MP3, ADTS-AAC, Ogg Opus/Vorbis and FLAC payloads get a REAL
-    duration/sample-rate from header walks (functions/mpegaudio.py and
-    functions/oggflac.py — published spec fields, no codec needed)
-    while their sample-level features keep the deterministic fake;
-    unrecognized formats keep the fake entirely — duration is byte
-    length at a nominal constant bitrate and features are
-    sha256-derived."""
+    PCM WAV (stdlib ``wave``), IMA ADPCM WAV (functions/adpcm.py — a
+    genuinely compressed format, 4 bits/sample) and FLAC
+    (functions/flac.py — RFC 9639 LPC + Rice bitstream, bit-exact)
+    payloads decode for REAL: true duration from the sample count,
+    classical features (RMS, zero-crossing rate, FFT band energies)
+    from the actual samples. MP3, ADTS-AAC and Ogg Opus/Vorbis
+    payloads get a REAL duration/sample-rate from header walks
+    (functions/mpegaudio.py and functions/oggflac.py — published spec
+    fields, no codec needed) while their sample-level features keep
+    the deterministic fake; unrecognized formats keep the fake
+    entirely — duration is byte length at a nominal constant bitrate
+    and features are sha256-derived."""
     if strict_codecs:
         raise NotImplementedError(
             "general audio decode requires ffmpeg/torchaudio — not present "
-            "in this container; PCM and IMA-ADPCM WAV decode natively, "
-            "other formats use the deterministic fake"
+            "in this container; PCM/ADPCM/float/G.711 WAV and FLAC decode "
+            "natively, other formats use the deterministic fake"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -107,12 +107,12 @@ class TestTiffDecode:
         ):
             assert imagex._tiff_lzw(imagex._tiff_lzw_encode(data)) == data
 
-    def test_jpeg_in_tiff_rejected_by_name(self):
+    def test_oldstyle_jpeg_rejected_by_name(self):
         data = bytearray(imagex.encode_tiff(np.zeros((4, 4), np.uint8)))
-        # flip the Compression tag value (259) to 7 = JPEG
+        # flip the Compression tag value (259) to 6 = old-style JPEG
         i = data.find(b"\x03\x01\x03\x00")  # tag 259, type SHORT (LE)
-        data[i + 8] = 7
-        with pytest.raises(NotImplementedError, match="compression 7"):
+        data[i + 8] = 6
+        with pytest.raises(NotImplementedError, match="compression 6"):
             imagex.decode_tiff(bytes(data))
 
     def test_image_path_dispatch(self):
@@ -125,6 +125,159 @@ class TestTiffDecode:
             _try_decode_image(imagex.encode_tiff(img)), img)
         # dimension-only fixture (no strips) falls through to the fake
         assert _try_decode_image(imagex.make_tiff(5, 6)) is None
+
+
+def _split_jpeg_tables(jfif: bytes) -> tuple[bytes, bytes]:
+    """Split a full JFIF stream into TIFF-TN2's (JPEGTables stream,
+    abbreviated image stream): tables = SOI + DQT/DHT segments + EOI;
+    image = SOI + everything else (SOF/SOS/entropy/EOI)."""
+    assert jfif[:2] == b"\xff\xd8"
+    tables, image = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    i = 2
+    while i < len(jfif):
+        assert jfif[i] == 0xFF
+        marker = jfif[i + 1]
+        if marker == 0xD9:  # EOI
+            image += b"\xff\xd9"
+            break
+        (seglen,) = __import__("struct").unpack(">H", jfif[i + 2 : i + 4])
+        seg = jfif[i : i + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else image).extend(seg)
+        i += 2 + seglen
+        if marker == 0xDA:  # entropy data runs to EOI
+            j = jfif.find(b"\xff\xd9", i)
+            image += jfif[i:j]
+            i = j
+    return bytes(tables) + b"\xff\xd9", bytes(image)
+
+
+def _build_jpeg_tiff(w: int, h: int, strips: list, rows_per_strip: int,
+                     tables: bytes = b"") -> bytes:
+    """Hand-assemble a little-endian Compression-7 TIFF: strip data,
+    then out-of-line offset/count/JPEGTables arrays, then the IFD."""
+    import struct
+
+    body = bytearray(b"II*\x00\x00\x00\x00\x00")
+    offs, cnts = [], []
+    for s in strips:
+        offs.append(len(body))
+        cnts.append(len(s))
+        body += s
+    arrays_off = len(body)
+    if len(strips) > 1:
+        off_pos, cnt_pos = arrays_off, arrays_off + 4 * len(strips)
+        body += struct.pack("<%dI" % len(strips), *offs)
+        body += struct.pack("<%dI" % len(strips), *cnts)
+    tab_pos = len(body)
+    body += tables
+    bps_pos = len(body)
+    body += struct.pack("<HHH", 8, 8, 8)
+    ifd_off = len(body)
+    struct.pack_into("<I", body, 4, ifd_off)
+    entries = []
+
+    def ent(tag, typ, count, value):
+        entries.append(struct.pack("<HHII", tag, typ, count, value))
+
+    ent(256, 4, 1, w)
+    ent(257, 4, 1, h)
+    ent(258, 3, 3, bps_pos)
+    ent(259, 3, 1, 7)
+    ent(262, 3, 1, 6)
+    if len(strips) == 1:
+        ent(273, 4, 1, offs[0])
+    else:
+        ent(273, 4, len(strips), off_pos)
+    ent(277, 3, 1, 3)
+    ent(278, 4, 1, rows_per_strip)
+    if len(strips) == 1:
+        ent(279, 4, 1, cnts[0])
+    else:
+        ent(279, 4, len(strips), cnt_pos)
+    if tables:
+        ent(347, 7, len(tables), tab_pos)
+    entries.sort()  # IFD entries must be tag-ordered
+    body += struct.pack("<H", len(entries)) + b"".join(entries)
+    body += struct.pack("<I", 0)
+    return bytes(body)
+
+
+class TestTiffJpeg:
+    """Compression 7 (TIFF-TN2 new-style JPEG) decodes through the
+    pure-Python JPEG codec."""
+
+    def _gradient(self, h, w):
+        y = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+        x = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        return np.stack([np.broadcast_to(y, (h, w)),
+                         np.broadcast_to(x, (h, w)),
+                         np.full((h, w), 128, np.uint8)], axis=2)
+
+    def test_full_stream_roundtrip(self):
+        img = np.full((20, 28, 3), (40, 90, 200), np.uint8)
+        out = imagex.decode_tiff(imagex.encode_tiff(img, compression=7))
+        assert out.shape == img.shape
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+    def test_matches_plain_jpeg_decode(self):
+        """The TIFF wrapper must change nothing vs decoding the same
+        JPEG stream directly."""
+        from mentor_rdf_parsers_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._gradient(24, 33)
+        jfif = encode_jpeg(img, quality=90)
+        tiff = _build_jpeg_tiff(33, 24, [jfif], 24)
+        np.testing.assert_array_equal(imagex.decode_tiff(tiff),
+                                      decode_jpeg(jfif))
+
+    def test_jpegtables_splice(self):
+        """Abbreviated strip streams + a shared tag-347 table stream
+        (what libtiff writes by default) decode identically to the
+        unsplit stream."""
+        from mentor_rdf_parsers_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._gradient(16, 25)
+        jfif = encode_jpeg(img, quality=85)
+        tables, image = _split_jpeg_tables(jfif)
+        assert b"\xff\xdb" in tables and b"\xff\xdb" not in image
+        tiff = _build_jpeg_tiff(25, 16, [image], 16, tables=tables)
+        np.testing.assert_array_equal(imagex.decode_tiff(tiff),
+                                      decode_jpeg(jfif))
+
+    def test_multi_strip_stacks_and_crops(self):
+        """Two strips of 16 rows for a 26-row image: the second strip's
+        JPEG pads to full MCUs; the stack must crop back to 26."""
+        from mentor_rdf_parsers_spark.functions.jpeg import encode_jpeg
+
+        img = self._gradient(26, 32)
+        s0 = encode_jpeg(img[:16], quality=95)
+        s1 = encode_jpeg(img[16:], quality=95)
+        tiff = _build_jpeg_tiff(32, 26, [s0, s1], 16)
+        out = imagex.decode_tiff(tiff)
+        assert out.shape == (26, 32, 3)
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 12
+
+    def test_dispatch_decodes_jpeg_tiff(self):
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _try_decode_image,
+        )
+
+        img = np.full((8, 8, 3), 160, np.uint8)
+        out = _try_decode_image(imagex.encode_tiff(img, compression=7))
+        assert out is not None and out.shape == (8, 8, 3)
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+    def test_malformed_tables_rejected(self):
+        tiff = _build_jpeg_tiff(4, 4, [b"\xff\xd8\xff\xd9"], 4,
+                                tables=b"not a table stream")
+        with pytest.raises(ValueError, match="JPEGTables"):
+            imagex.decode_tiff(tiff)
 
 
 class TestTiffWebpProbes:
