@@ -546,7 +546,7 @@ def _media_probe_facet(spark, sf_dir):
         import pandas as pd
 
         from mentor_rdf_parsers_spark.functions import (
-            ebml, gif, imagex, jpeg, mp4, mpegaudio, png,
+            ebml, gif, imagex, jpeg, mp4, mpegaudio, png, vp8l,
         )
 
         for pdf in batches:
@@ -584,7 +584,9 @@ def _media_probe_facet(spark, sf_dir):
                 elif k == 8:
                     b = imagex.make_tiff(w, h)
                 else:
-                    b = imagex.make_webp_vp8l_header(w, h)
+                    # a real decodable lossless WebP (r5: full VP8L
+                    # codec); the probe reads the same header dims
+                    b = vp8l.encode_webp(np.stack([img] * 3, axis=2))
                 out["media_id"].append(str(d))
                 out["kind"].append("probe")
                 out["payload"].append(b)

@@ -84,10 +84,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 
 def _try_decode_image(payload: bytes):
     """REAL decode for PNG (all variants), JPEG (baseline +
-    progressive), GIF (first frame), BMP and netpbm payloads
-    (functions/{png,jpeg,gif,imagex}.py — stdlib + numpy, no external
-    codec). Returns the pixel array or None for other formats /
-    unsupported variants (those fall through to the fake)."""
+    progressive), GIF (first frame), lossless WebP (VP8L), BMP and
+    netpbm payloads (functions/{png,jpeg,gif,vp8l,imagex}.py — stdlib
+    + numpy, no external codec). Returns the pixel array or None for
+    other formats / unsupported variants (those fall through to the
+    fake)."""
     from ..functions import jpeg, png
 
     try:
@@ -95,10 +96,12 @@ def _try_decode_image(payload: bytes):
             return png.decode_png(payload)
         if jpeg.is_jpeg(payload):
             return jpeg.decode_jpeg(payload)
-        from ..functions import gif, imagex
+        from ..functions import gif, imagex, vp8l
 
         if gif.is_gif(payload):
             return gif.decode_gif(payload)  # first frame
+        if vp8l.is_webp(payload):
+            return vp8l.decode_webp(payload)  # VP8L; lossy VP8 → stub
         if imagex.is_bmp(payload):
             return imagex.decode_bmp(payload)
         if imagex.is_pnm(payload):
@@ -108,7 +111,7 @@ def _try_decode_image(payload: bytes):
         if imagex.is_ico(payload):
             return imagex.decode_ico(payload)  # largest PNG/DIB entry
     except (NotImplementedError, ValueError, IndexError):
-        pass  # arithmetic/LZW-compressed / RLE-BMP / corrupt → stub path
+        pass  # arithmetic/VP8-lossy / RLE-BMP / corrupt → stub path
     return None
 
 
@@ -149,16 +152,17 @@ def decode_images(
 ) -> DataFrame:
     """media(kind='image') → IMAGE_META via mapInPandas.
 
-    PNG, JPEG (baseline + progressive), GIF, BMP and netpbm payloads
-    decode for REAL (true width/height, classical pixel features);
-    other formats use the deterministic fake. `strict_codecs=True`
-    raises NotImplementedError up front (for environments where
+    PNG, JPEG (baseline + progressive), GIF, lossless WebP (VP8L),
+    BMP, netpbm, TIFF and ICO payloads decode for REAL (true
+    width/height, classical pixel features); other formats use the
+    deterministic fake. `strict_codecs=True` raises
+    NotImplementedError up front (for environments where
     general-purpose codecs beyond these are required)."""
     if strict_codecs:
         raise NotImplementedError(
             "general image decode requires PIL/torchvision — not present "
-            "in this container; PNG and baseline JPEG decode natively, "
-            "other formats use the deterministic fake"
+            "in this container; PNG/JPEG/GIF/VP8L-WebP/BMP/netpbm/TIFF/ICO "
+            "decode natively, other formats use the deterministic fake"
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -309,9 +313,9 @@ def resize_images(
     """media(kind='image') → aspect-fit resized rows via mapInPandas.
 
     The aspect-fit arithmetic (scale = min(tw/w, th/h), never upscale)
-    is real for every format. PNG/JPEG/GIF/BMP/netpbm payloads get a
-    REAL thumbnail: decode → nearest-neighbor resample → re-encode as
-    PNG. Other payloads keep the digest-derived
+    is real for every format. PNG/JPEG/GIF/VP8L-WebP/BMP/netpbm/TIFF/
+    ICO payloads get a REAL thumbnail: decode → nearest-neighbor
+    resample → re-encode as PNG. Other payloads keep the digest-derived
     stand-in payload sized ∝ out_w·out_h so downstream batch-shape
     accounting behaves like a real thumbnail stage."""
     if strict_codecs:

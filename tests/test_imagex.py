@@ -315,7 +315,8 @@ class TestMultimodalDispatch:
         img = np.full((9, 13, 3), 7, np.uint8)
         np.testing.assert_array_equal(
             _try_decode_image(imagex.encode_bmp(img)), img)
-        # webp/tiff pixel decode honestly absent → falls to the fake
+        # a header-only VP8L stream has no pixel data → falls to the
+        # fake (real WebP decode is covered in tests/test_vp8l.py)
         assert _try_decode_image(imagex.make_webp_vp8l_header(4, 4)) is None
 
 
