@@ -116,6 +116,12 @@ class TestRoundTrips:
         _, out = _rt(a)  # palette='auto' engages
         assert (out == a).all()
 
+    def test_single_color_auto_palette(self):
+        # 1-entry palette: 8 bundled indices per packed byte
+        a = np.full((5, 11, 3), 123, np.uint8)
+        _, out = _rt(a)
+        assert (out == a).all()
+
     def test_palette_width_not_multiple_of_bundle(self):
         # 2 colors → 8 indices per packed byte; width 13 exercises the
         # partial trailing bundle
