@@ -397,6 +397,10 @@ def _write_subframe(bw: _BitWriter, x: list, bps: int, mode: str,
                     wasted: int = 0) -> None:
     bw.write(0, 1)
     if wasted:
+        if any(v & ((1 << wasted) - 1) for v in x):
+            raise ValueError(
+                "FLAC: wasted-bits encoding needs samples with that many "
+                "low zero bits (would otherwise be lossy)")
         x = [v >> wasted for v in x]
     if mode == "constant":
         bw.write(0, 6)
@@ -486,9 +490,11 @@ def encode_flac(samples: np.ndarray, rate: int = 44100, bits: int = 16,
         bw.write(0, 1)
         if f < 0x80:
             bw.write(f, 8)  # UTF-8 coded frame number (1 byte)
-        else:
+        elif f < 0x800:
             bw.write(0xC0 | (f >> 6), 8)
             bw.write(0x80 | (f & 0x3F), 8)
+        else:  # fixture writer: 2048 frames ≈ 8M samples is plenty
+            raise ValueError("FLAC encoder: frame number exceeds 2 bytes")
         bw.write(n - 1, 16)
         bw.align()
         hdr = bw.bytes()

@@ -802,8 +802,7 @@ def _encode_image_stream(bw: _BitWriter, pix: list[int], xsize: int,
                          ysize: int, *, level0: bool = False,
                          cache_bits: int = 0,
                          use_lz77: bool = True,
-                         meta_bits: int = 0,
-                         tokens_out: Optional[list] = None) -> None:
+                         meta_bits: int = 0) -> None:
     """Write one spatially-coded image (no transforms — the caller
     writes those).  meta_bits > 0 splits the level-0 image into
     2^meta_bits tiles with two alternating prefix-code groups
@@ -830,8 +829,6 @@ def _encode_image_stream(bw: _BitWriter, pix: list[int], xsize: int,
         bw.write(0, 1)
 
     tokens = _tokenize(pix, xsize, cache_bits=cache_bits, use_lz77=use_lz77)
-    if tokens_out is not None:
-        tokens_out.extend(tokens)
     # assign each token its group (by the position of its first pixel)
     cache_size = (1 << cache_bits) if cache_bits else 0
     green_size = 256 + 24 + cache_size

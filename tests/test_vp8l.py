@@ -9,6 +9,8 @@ every code path.
 
 import numpy as np
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from mentor_rdf_parsers_spark.functions import vp8l
 from mentor_rdf_parsers_spark.functions.vp8l import (
@@ -189,6 +191,59 @@ class TestBitLayout:
             (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
             (1, 3), (-1, 3)]
         assert len(set(vp8l._DIST_MAP)) == 120
+
+
+@st.composite
+def _image_and_config(draw):
+    h = draw(st.integers(1, 12))
+    w = draw(st.integers(1, 12))
+    channels = draw(st.sampled_from([3, 4]))
+    # low-cardinality palettes and full-range literals both arise
+    lo_card = draw(st.booleans())
+    seed = draw(st.integers(0, 2**31 - 1))
+    r = np.random.default_rng(seed)
+    if lo_card:
+        vals = r.integers(0, 256, (draw(st.integers(1, 6)), channels),
+                          dtype=np.uint8)
+        arr = vals[r.integers(0, len(vals), (h, w))]
+    else:
+        arr = r.integers(0, 256, (h, w, channels), dtype=np.uint8)
+    cfg = {
+        "palette": draw(st.sampled_from(["auto", "off"])),
+        "color_cache_bits": draw(st.sampled_from([0, 1, 3, 8])),
+        "use_lz77": draw(st.booleans()),
+    }
+    if cfg["palette"] == "off":
+        if draw(st.booleans()):
+            cfg["subtract_green"] = True
+        mode = draw(st.integers(-1, 13))
+        if mode >= 0:
+            cfg["predictor"] = mode
+            cfg["pred_bits"] = draw(st.integers(2, 6))
+        if draw(st.booleans()):
+            cfg["color_cte"] = (draw(st.integers(0, 255)),
+                                draw(st.integers(0, 255)),
+                                draw(st.integers(0, 255)))
+        if draw(st.booleans()):
+            cfg["meta_bits"] = draw(st.integers(2, 4))
+    return arr, cfg
+
+
+class TestFuzz:
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(_image_and_config())
+    def test_any_config_roundtrips(self, case):
+        """Every encoder configuration × random content must decode
+        bit-exactly — this walks prefix-code shapes (simple/normal/
+        const), cache interactions, transform stacking, and bundling
+        widths the example tests can't enumerate."""
+        arr, cfg = case
+        out = decode_webp(encode_webp(arr, **cfg))
+        expect = arr if arr.shape[2] == 3 or (arr[:, :, 3] != 255).any() \
+            else arr[:, :, :3]
+        assert out.shape == expect.shape
+        assert (out == expect).all()
 
 
 class TestImagePathDispatch:
