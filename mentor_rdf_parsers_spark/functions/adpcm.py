@@ -9,9 +9,10 @@ non-PCM files, so this module walks the RIFF chunks itself.
 
 Gives ``operators/multimodal.py:extract_audio_features`` a REAL path for
 compressed audio: true duration from the sample count, true features
-from the decoded waveform. Mono only — stereo IMA interleaves channels
-in 4-byte groups and is rejected by name, never mis-decoded (same
-variant-rejection posture as the PNG/JPEG codecs). MP3/AAC/opus stay
+from the decoded waveform. Mono and stereo — stereo carries one 4-byte
+state header per channel and interleaves the nibble stream in 4-byte
+(8-sample) groups per channel, decoded here by de-interleaving the
+group grid before the per-channel sequential pass. MP3/AAC/opus stay
 out of scope: their codecs genuinely need external libraries.
 """
 
@@ -113,12 +114,27 @@ def is_ima_adpcm_wav(data: bytes) -> bool:
     return False
 
 
-def decode_ima_wav(data: bytes):
-    """IMA ADPCM WAV bytes → (samples float32 in [-1,1], rate).
+def _block_nibbles(body: np.ndarray, ch: int, c: int) -> np.ndarray:
+    """Channel ``c``'s nibble sequence from a block body: the stream
+    interleaves 4-byte groups per channel (ch0 ch1 ch0 ch1 ... for
+    stereo); within a byte the LOW nibble comes first (IMA order)."""
+    if ch > 1:
+        usable = len(body) - len(body) % (4 * ch)
+        body = body[:usable].reshape(-1, ch, 4)[:, c, :].reshape(-1)
+    nibbles = np.empty(len(body) * 2, dtype=np.uint8)
+    nibbles[0::2] = body & 0x0F
+    nibbles[1::2] = body >> 4
+    return nibbles
 
-    Blocks decode independently (each starts with a 4-byte state header:
-    int16 predictor, uint8 step index, reserved), so a distributed
-    decoder could even split one long recording at block boundaries."""
+
+def decode_ima_wav(data: bytes):
+    """IMA ADPCM WAV bytes → (samples float32 in [-1,1], rate); samples
+    is (n,) for mono, (n, channels) for stereo.
+
+    Blocks decode independently (each starts with a 4-byte state header
+    per channel: int16 predictor, uint8 step index, reserved), so a
+    distributed decoder could even split one long recording at block
+    boundaries."""
     if not is_ima_adpcm_wav(data):
         raise ValueError("not an IMA ADPCM WAV payload")
     fmt = sound = None
@@ -134,28 +150,30 @@ def decode_ima_wav(data: bytes):
         raise ValueError("IMA WAV: missing fmt/data chunk")
     tag, channels, rate, _bps, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0)
-    if channels != 1:
-        raise ValueError(
-            f"IMA WAV: {channels}-channel files unsupported (mono only — "
-            f"stereo interleaves 4-byte groups per channel)")
+    if channels not in (1, 2):
+        raise ValueError(f"IMA WAV: {channels}-channel files unsupported")
     if bits != 4:
         raise ValueError(f"IMA WAV: {bits}-bit nibbles unsupported")
     # samples-per-block from the fact chunk layout: 1 header sample +
-    # 2 per data byte
-    pieces = []
+    # 2 per data byte per channel
+    per_ch_pieces: list[list[np.ndarray]] = [[] for _ in range(channels)]
     for b0 in range(0, len(sound), block_align):
         block = sound[b0:b0 + block_align]
-        if len(block) < 4:
+        if len(block) < 4 * channels:
             break
-        predictor, index = struct.unpack_from("<hB", block, 0)
-        body = np.frombuffer(block[4:], dtype=np.uint8)
-        nibbles = np.empty(len(body) * 2, dtype=np.uint8)
-        nibbles[0::2] = body & 0x0F          # low nibble first (IMA order)
-        nibbles[1::2] = body >> 4
-        pieces.append(np.array([predictor], dtype=np.int16))
-        pieces.append(_decode_nibbles(nibbles, predictor, index))
-    samples = (np.concatenate(pieces).astype(np.float32) / 32768.0
-               if pieces else np.zeros(0, dtype=np.float32))
+        body = np.frombuffer(block[4 * channels:], dtype=np.uint8)
+        for c in range(channels):
+            predictor, index = struct.unpack_from("<hB", block, 4 * c)
+            nibbles = _block_nibbles(body, channels, c)
+            per_ch_pieces[c].append(np.array([predictor], dtype=np.int16))
+            per_ch_pieces[c].append(_decode_nibbles(nibbles, predictor, index))
+    if not per_ch_pieces[0]:
+        empty = np.zeros((0,) if channels == 1 else (0, channels),
+                         dtype=np.float32)
+        return empty, rate
+    chans = [np.concatenate(p).astype(np.float32) / 32768.0
+             for p in per_ch_pieces]
+    samples = chans[0] if channels == 1 else np.stack(chans, axis=1)
     if n_declared is not None:
         samples = samples[:n_declared]  # fact chunk: trim block padding
     return samples, rate
@@ -163,29 +181,45 @@ def decode_ima_wav(data: bytes):
 
 def encode_ima_wav(samples: np.ndarray, rate: int = 16000,
                    block_align: int = 256) -> bytes:
-    """float32 [-1,1] (or int16) mono samples → IMA ADPCM WAV bytes.
-    Fixture builder / round-trip partner of :func:`decode_ima_wav`."""
+    """float32 [-1,1] (or int16) samples — (n,) mono or (n, 2) stereo —
+    → IMA ADPCM WAV bytes. Fixture builder / round-trip partner of
+    :func:`decode_ima_wav`. Stereo packs each channel's nibbles in
+    alternating 4-byte groups after the per-channel state headers."""
     s = np.asarray(samples)
     if s.dtype != np.int16:
         s = np.clip(np.asarray(s, dtype=np.float64) * 32768.0, -32768, 32767
                     ).astype(np.int16)
-    per_block = 1 + (block_align - 4) * 2
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    if ch not in (1, 2):
+        raise ValueError(f"encode_ima_wav: {ch} channels unsupported")
+    data_bytes = block_align - 4 * ch  # nibble bytes per block, all chans
+    per_block = 1 + data_bytes * 2 // ch  # samples per channel per block
     blocks = []
-    pred, idx = 0, 0
+    idx = [0] * ch
     for b0 in range(0, len(s), per_block):
         seg = s[b0:b0 + per_block]
-        pred = int(seg[0])
-        body = seg[1:]
-        if len(body) % 2:
-            body = np.concatenate([body, body[-1:]])  # pad to full byte
-        idx_start = idx  # header carries the state at block START
-        nibs, pred, idx = _encode_nibbles(body, pred, idx)
-        packed = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8).tobytes()
-        packed = packed.ljust(block_align - 4, b"\x00")
-        blocks.append(struct.pack("<hBB", int(seg[0]), idx_start, 0) + packed)
+        header = b""
+        packed_ch = []
+        for c in range(ch):
+            body = seg[1:, c]
+            if len(body) % 2:
+                body = np.concatenate([body, body[-1:]])  # pad to full byte
+            header += struct.pack("<hBB", int(seg[0, c]), idx[c], 0)
+            nibs, _pred, idx[c] = _encode_nibbles(body, int(seg[0, c]), idx[c])
+            packed = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8)
+            packed_ch.append(np.frombuffer(
+                packed.tobytes().ljust(data_bytes // ch, b"\x00"), np.uint8))
+        if ch == 1:
+            sound_body = packed_ch[0].tobytes()
+        else:  # interleave 4-byte groups: ch0 ch1 ch0 ch1 ...
+            grid = np.stack([p.reshape(-1, 4) for p in packed_ch], axis=1)
+            sound_body = grid.reshape(-1).tobytes()
+        blocks.append(header + sound_body)
     sound = b"".join(blocks)
     n_samples = len(s)
-    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, rate,
+    fmt = struct.pack("<HHIIHHHH", 0x0011, ch, rate,
                       rate * block_align // per_block, block_align, 4,
                       2, per_block)
     fact = struct.pack("<I", n_samples)

@@ -27,9 +27,12 @@ def is_bmp(data: bytes) -> bool:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed (BI_RGB) 8-bit-palette / 24 / 32-bit BMP →
-    (H, W, 3) uint8 RGB. Rows are 4-byte aligned and stored bottom-up
-    (top-down when height is negative)."""
+    """BMP → (H, W, 3) uint8 RGB. Uncompressed (BI_RGB/BI_BITFIELDS
+    with default masks) at 1/4/8-bit palette and 24/32-bit truecolor,
+    plus BI_RLE8 (compression 1) and BI_RLE4 (compression 2) runs —
+    the full BITMAPINFOHEADER surface short of custom bitfield masks.
+    Rows are 4-byte aligned and stored bottom-up (top-down when height
+    is negative; RLE bitmaps are bottom-up by spec)."""
     if not is_bmp(data):
         raise ValueError("not a BMP (bad magic)")
     (pixel_off,) = struct.unpack("<I", data[10:14])
@@ -39,34 +42,102 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h = struct.unpack("<ii", data[18:26])
     _planes, bpp = struct.unpack("<HH", data[26:30])
     (compression,) = struct.unpack("<I", data[30:34])
-    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS (default masks)
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(f"BMP: compression {compression}")
-    if bpp not in (8, 24, 32):
+    if compression == 1 and bpp != 8:
+        raise ValueError("BMP: BI_RLE8 requires 8-bit pixels")
+    if compression == 2 and bpp != 4:
+        raise ValueError("BMP: BI_RLE4 requires 4-bit pixels")
+    if bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(f"BMP: {bpp}-bit pixels")
     top_down = h < 0
     h = abs(h)
     palette = None
-    if bpp == 8:
+    if bpp <= 8:
         (n_colors,) = struct.unpack("<I", data[46:50])
-        n_colors = n_colors or 256
+        n_colors = n_colors or (1 << bpp)
         pal = np.frombuffer(
             data[14 + hdr_size : 14 + hdr_size + 4 * n_colors],
             dtype=np.uint8).reshape(-1, 4)
         palette = pal[:, [2, 1, 0]]  # BGRA → RGB
-    stride = (w * bpp // 8 + 3) & ~3
+    if compression in (1, 2):
+        idx = _bmp_rle(data[pixel_off:], w, h, nibble=(compression == 2))
+        return palette[np.minimum(idx, len(palette) - 1)][::-1]
+    stride = ((w * bpp + 7) // 8 + 3) & ~3
     need = pixel_off + stride * h
     if len(data) < need:
         raise ValueError("BMP: truncated pixel data")
     rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
                          offset=pixel_off).reshape(h, stride)
-    if bpp == 8:
-        idx = rows[:, :w]
+    if bpp <= 8:
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:  # unpack 1/4-bit indices, MSB-first within each byte
+            bits = np.unpackbits(rows, axis=1)
+            if bpp == 4:
+                nib = bits.reshape(h, -1, 4)
+                idx = (nib[:, :, 0] * 8 + nib[:, :, 1] * 4
+                       + nib[:, :, 2] * 2 + nib[:, :, 3])[:, :w]
+            else:
+                idx = bits[:, :w]
         out = palette[np.minimum(idx, len(palette) - 1)]
     else:
         ch = bpp // 8
         px = rows[:, : w * ch].reshape(h, w, ch)
         out = px[:, :, [2, 1, 0]]  # BGR(A) → RGB
     return out if top_down else out[::-1]
+
+
+def _bmp_rle(src: bytes, w: int, h: int, nibble: bool) -> np.ndarray:
+    """BI_RLE8/BI_RLE4 → (H, W) palette indices, rows in FILE order
+    (bottom-up; caller flips). Opcode pairs: (n>0, v) = run of n
+    pixels (RLE4 alternates v's high/low nibbles); (0, 0) = end of
+    line; (0, 1) = end of bitmap; (0, 2, dx, dy) = cursor delta;
+    (0, n≥3) = n literal pixels, padded to a 16-bit boundary.
+    Pixels the cursor skips (deltas / early EOL) stay index 0, which
+    is how Windows defines the gaps."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(src)
+    while i + 1 < n and y < h:
+        cnt, val = src[i], src[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            m = min(cnt, w - x)
+            if nibble:
+                pair = np.array([val >> 4, val & 0x0F], dtype=np.uint8)
+                idx[y, x : x + m] = np.tile(pair, (cnt + 1) // 2)[:m]
+            else:
+                idx[y, x : x + m] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                break
+            x += src[i]
+            y += src[i + 1]
+            i += 2
+        else:  # absolute mode: val literal pixels
+            if nibble:
+                nbytes = (val + 1) // 2
+                chunk = np.frombuffer(src, np.uint8, min(nbytes, n - i), i)
+                lits = np.empty(len(chunk) * 2, dtype=np.uint8)
+                lits[0::2] = chunk >> 4
+                lits[1::2] = chunk & 0x0F
+                lits = lits[:val]
+            else:
+                nbytes = val
+                lits = np.frombuffer(src, np.uint8, min(val, n - i), i)
+            i += nbytes + (nbytes & 1)  # pad to 16-bit boundary
+            m = min(len(lits), w - x)
+            idx[y, x : x + m] = lits[:m]
+            x += val
+        if x > w:
+            x = w
+    return idx
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:
@@ -83,6 +154,83 @@ def encode_bmp(arr: np.ndarray) -> bytes:
               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                             len(pixels), 2835, 2835, 0, 0))
     return header + pixels
+
+
+def _bmp_palette_header(idx: np.ndarray, palette: np.ndarray,
+                        compression: int, body_len: int,
+                        bpp: int) -> bytes:
+    h, w = idx.shape
+    pal = np.zeros((1 << bpp, 4), dtype=np.uint8)
+    pal[: len(palette), :3] = np.asarray(palette, dtype=np.uint8)[:, [2, 1, 0]]
+    pixel_off = 54 + pal.size
+    return (b"BM" + struct.pack("<IHHI", pixel_off + body_len, 0, 0,
+                                pixel_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                          body_len, 2835, 2835, len(palette), 0)
+            + pal.tobytes())
+
+
+def encode_bmp_rle8(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H, W) uint8 palette indices + (N, 3) RGB palette → BI_RLE8 BMP
+    (bottom-up). Runs ≥2 become encoded runs; isolated stretches use
+    absolute mode when ≥3 long (exercising both decoder paths), else
+    length-1 runs. Round-trip partner of :func:`decode_bmp`."""
+    a = np.asarray(idx, dtype=np.uint8)
+    h, w = a.shape
+    out = bytearray()
+    for row in a[::-1]:  # file order is bottom-up
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 2:
+                out += bytes([run, row[x]])
+                x += run
+                continue
+            # literal stretch: until the next run of ≥3 (or row end)
+            j = x
+            while j < w and j - x < 255:
+                if j + 2 < w and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            lits = row[x:j]
+            if len(lits) >= 3:
+                out += bytes([0, len(lits)]) + lits.tobytes()
+                if len(lits) & 1:
+                    out += b"\x00"  # pad to 16-bit boundary
+            else:
+                for v in lits:
+                    out += bytes([1, v])
+            x = j
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return _bmp_palette_header(a, palette, 1, len(out), 8) + bytes(out)
+
+
+def encode_bmp_rle4(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H, W) indices <16 + palette → BI_RLE4 BMP (bottom-up), emitted
+    as simple alternating-nibble runs."""
+    a = np.asarray(idx, dtype=np.uint8)
+    if a.max(initial=0) > 15:
+        raise ValueError("RLE4 indices must be < 16")
+    h, w = a.shape
+    out = bytearray()
+    for row in a[::-1]:
+        x = 0
+        while x < w:
+            # run of the alternating pair (row[x], row[x+1], row[x], ...)
+            v0 = row[x]
+            v1 = row[x + 1] if x + 1 < w else v0
+            run = 1
+            while x + run < w and row[x + run] == (v0, v1)[run & 1] \
+                    and run < 255:
+                run += 1
+            out += bytes([run, (int(v0) << 4) | int(v1)])
+            x += run
+        out += b"\x00\x00"
+    out += b"\x00\x01"
+    return _bmp_palette_header(a, palette, 2, len(out), 4) + bytes(out)
 
 
 # ---------------------------------------------------------------- netpbm

@@ -111,7 +111,7 @@ def _try_decode_image(payload: bytes):
         if imagex.is_ico(payload):
             return imagex.decode_ico(payload)  # largest PNG/DIB entry
     except (NotImplementedError, ValueError, IndexError):
-        pass  # arithmetic/VP8-lossy / RLE-BMP / corrupt → stub path
+        pass  # arithmetic-JPEG / VP8-lossy / corrupt → stub path
     return None
 
 
@@ -419,7 +419,9 @@ def _try_decode_audio(payload: bytes):
         try:
             samples, rate = adpcm.decode_ima_wav(payload)
         except ValueError:
-            return None  # stereo / exotic nibble width → stub path
+            return None  # >2 channels / exotic nibble width → stub path
+        if samples.ndim > 1:  # stereo: mixdown for ZCR/spectral features
+            samples = samples.mean(axis=1)
         return (int(len(samples) * 1000 / max(rate, 1)), samples, rate)
     if flac.is_flac(payload):
         try:

@@ -72,15 +72,34 @@ class TestAdpcmCodec:
         tail = slice(len(sig) - 500, len(sig))
         assert float(np.sqrt(np.mean((dec[tail] - sig[tail]) ** 2))) < 0.15
 
+    def test_stereo_roundtrip(self):
+        # stereo: per-channel state headers + alternating 4-byte groups;
+        # channels carry DIFFERENT signals so any interleave mistake
+        # shows up as cross-channel bleed, not just extra noise
+        t = np.arange(12000, dtype=np.float64) / 16000
+        left = 0.5 * np.sin(2 * np.pi * 440 * t)
+        right = 0.35 * np.sin(2 * np.pi * 1031 * t)
+        sig = np.stack([left, right], axis=1).astype(np.float32)
+        wav = adpcm.encode_ima_wav(sig, rate=16000)
+        assert adpcm.is_ima_adpcm_wav(wav)
+        dec, rate = adpcm.decode_ima_wav(wav)
+        assert rate == 16000 and dec.shape == sig.shape
+        for c in range(2):
+            err = float(np.sqrt(np.mean((dec[:, c] - sig[:, c]) ** 2)))
+            assert err < 0.03, (c, err)
+        # each tone must land in its own channel, not bleed across
+        assert float(np.corrcoef(dec[:, 1], right)[0, 1]) > 0.99
+        assert abs(float(np.corrcoef(dec[:, 1], left)[0, 1])) < 0.05
+
     def test_variant_rejections_named(self):
         sig = np.zeros(100, dtype=np.float32)
         wav = bytearray(adpcm.encode_ima_wav(sig))
         with pytest.raises(ValueError, match="not an IMA ADPCM"):
             adpcm.decode_ima_wav(b"RIFFxxxxWAVE")
-        # flip channel count to stereo in the fmt chunk
+        # flip channel count to an unsupported 3 in the fmt chunk
         fmt_off = wav.index(b"fmt ") + 8
-        wav[fmt_off + 2] = 2
-        with pytest.raises(ValueError, match="mono only"):
+        wav[fmt_off + 2] = 3
+        with pytest.raises(ValueError, match="3-channel"):
             adpcm.decode_ima_wav(bytes(wav))
 
 

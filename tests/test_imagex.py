@@ -33,6 +33,109 @@ class TestBmp:
             imagex.decode_bmp(b"definitely not a bitmap")
 
 
+class TestBmpRle:
+    def _palette(self, n, seed=7):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (n, 3)).astype(np.uint8)
+
+    def test_rle8_roundtrip_runs_and_literals(self):
+        rng = np.random.default_rng(11)
+        # mix of long runs (encoded-run opcode) and noise (absolute mode)
+        idx = np.repeat(rng.integers(0, 200, (9, 11)), 3, axis=1).astype(np.uint8)
+        idx[4] = rng.integers(0, 200, 33)  # one all-literal row
+        pal = self._palette(200)
+        out = imagex.decode_bmp(imagex.encode_bmp_rle8(idx, pal))
+        np.testing.assert_array_equal(out, pal[idx])
+
+    def test_rle8_run_longer_than_255(self):
+        idx = np.full((2, 300), 42, np.uint8)
+        idx[1, :150] = 7
+        pal = self._palette(64)
+        out = imagex.decode_bmp(imagex.encode_bmp_rle8(idx, pal))
+        np.testing.assert_array_equal(out, pal[idx])
+
+    def test_rle4_roundtrip(self):
+        rng = np.random.default_rng(12)
+        idx = rng.integers(0, 16, (7, 13)).astype(np.uint8)
+        idx[2, :] = 5  # a solid row exercises the alternating-pair run
+        pal = self._palette(16)
+        out = imagex.decode_bmp(imagex.encode_bmp_rle4(idx, pal))
+        np.testing.assert_array_equal(out, pal[idx])
+
+    def test_rle8_delta_and_early_eol_leave_zeros(self):
+        # hand-crafted stream: row0 = 3×idx1, EOL; delta (2, 1) skips to
+        # row2 col2; 2×idx2; end-of-bitmap — skipped pixels stay index 0
+        pal = self._palette(8)
+        body = bytes([3, 1, 0, 0,        # run, end of line
+                      0, 2, 2, 1,        # delta dx=2 dy=1
+                      2, 2, 0, 1])       # run, end of bitmap
+        hdr = imagex.encode_bmp_rle8(np.zeros((3, 4), np.uint8), pal)
+        pixel_off = int.from_bytes(hdr[10:14], "little")
+        bmp = bytearray(hdr[:pixel_off]) + body
+        import struct as _s
+        _s.pack_into("<I", bmp, 34, len(body))  # biSizeImage
+        _s.pack_into("<I", bmp, 2, pixel_off + len(body))
+        out = imagex.decode_bmp(bytes(bmp))
+        expect = np.zeros((3, 4), np.uint8)  # rows in FILE order
+        expect[0, :3] = 1       # bottom-up: file row 0 is image row 2
+        expect[2, 2:4] = 2      # file row 2 (after delta) is image row 0
+        np.testing.assert_array_equal(out, pal[expect][::-1])
+
+    def test_rle4_requires_small_indices(self):
+        with pytest.raises(ValueError, match="< 16"):
+            imagex.encode_bmp_rle4(np.full((2, 2), 99, np.uint8),
+                                   self._palette(16))
+
+    def test_rle_compression_bpp_mismatch_named(self):
+        pal = self._palette(16)
+        raw = bytearray(imagex.encode_bmp_rle4(np.zeros((2, 2), np.uint8), pal))
+        import struct as _s
+        _s.pack_into("<H", raw, 28, 8)  # claim 8bpp under BI_RLE4
+        with pytest.raises(ValueError, match="BI_RLE4"):
+            imagex.decode_bmp(bytes(raw))
+
+
+class TestBmpLowBpp:
+    def test_4bit_uncompressed(self):
+        rng = np.random.default_rng(13)
+        idx = rng.integers(0, 16, (5, 9)).astype(np.uint8)
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        bmp = _pack_lowbpp_bmp(idx, pal, bpp=4)
+        np.testing.assert_array_equal(imagex.decode_bmp(bmp), pal[idx])
+
+    def test_1bit_uncompressed(self):
+        rng = np.random.default_rng(14)
+        idx = rng.integers(0, 2, (6, 19)).astype(np.uint8)
+        pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+        bmp = _pack_lowbpp_bmp(idx, pal, bpp=1)
+        np.testing.assert_array_equal(imagex.decode_bmp(bmp), pal[idx])
+
+
+def _pack_lowbpp_bmp(idx: np.ndarray, pal: np.ndarray, bpp: int) -> bytes:
+    """Build an uncompressed low-bpp BMP (MSB-first packing, 4-byte row
+    alignment, bottom-up) — exercises the decode-only path."""
+    import struct as _s
+
+    h, w = idx.shape
+    stride = ((w * bpp + 7) // 8 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        acc = np.zeros(stride * 8 // bpp, np.uint8)
+        acc[:w] = idx[y]
+        if bpp == 4:
+            rows[y] = (acc[0::2] << 4 | acc[1::2])[:stride]
+        else:
+            rows[y] = np.packbits(acc)[:stride]
+    body = rows[::-1].tobytes()
+    pal4 = np.zeros((1 << bpp, 4), np.uint8)
+    pal4[: len(pal), :3] = pal[:, [2, 1, 0]]
+    off = 54 + pal4.size
+    return (b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off)
+            + _s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body),
+                      2835, 2835, len(pal), 0)
+            + pal4.tobytes() + body)
+
+
 class TestPnm:
     def test_ppm_roundtrip_exact(self):
         rng = np.random.default_rng(4)
