@@ -146,6 +146,10 @@ def decode_gif_frames(data: bytes) -> Iterator[np.ndarray]:
     if len(data) < 13:
         raise ValueError("GIF: truncated header")
     w, h = struct.unpack("<HH", data[6:10])
+    # plausibility cap: u16 dims allow a 65535² screen (12.9 GB RGB) —
+    # a corrupt header must raise, not OOM an executor task
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        raise ValueError(f"GIF: implausible screen {w}x{h}")
     packed = data[10]
     bg_index = data[11]
     gct = None
@@ -165,6 +169,11 @@ def decode_gif_frames(data: bytes) -> Iterator[np.ndarray]:
         if off + 10 > len(data):
             raise ValueError("GIF: truncated image descriptor")
         fx, fy, fw, fh = struct.unpack("<HHHH", data[off + 1 : off + 9])
+        # a frame must fit the logical screen — this also bounds the
+        # LZW output allocation against corrupt descriptors
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            raise ValueError(f"GIF: frame {fw}x{fh}@{fx},{fy} "
+                             f"outside {w}x{h} screen")
         flags = data[off + 9]
         j = off + 10
         ct = gct

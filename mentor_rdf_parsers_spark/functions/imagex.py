@@ -23,7 +23,10 @@ import numpy as np
 # ------------------------------------------------------------------ BMP
 
 def is_bmp(data: bytes) -> bool:
-    return len(data) >= 26 and data[:2] == b"BM"
+    # 54 = file header (14) + BITMAPINFOHEADER (40): anything shorter
+    # cannot carry the fields decode reads, and a 26-53-byte truncation
+    # must fail closed as ValueError, not escape as struct.error
+    return len(data) >= 54 and data[:2] == b"BM"
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -52,6 +55,12 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"BMP: {bpp}-bit pixels")
     top_down = h < 0
     h = abs(h)
+    # Canvas plausibility: RLE decouples output size from input size
+    # (few opcode bytes can claim a multi-GB canvas), so a corrupt
+    # header must fail closed HERE, before np.zeros — a poison payload
+    # that OOMs an executor is worse than one that raises.
+    if w <= 0 or h == 0 or w * h > (1 << 26):
+        raise ValueError(f"BMP: implausible dimensions {w}x{h}")
     palette = None
     if bpp <= 8:
         (n_colors,) = struct.unpack("<I", data[46:50])
@@ -470,22 +479,30 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF: {bits}-bit samples")
     w, h = tags[256][0], tags[257][0]
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        # fail closed before decompression: LZW/deflate strips expand
+        # up to ~1000x, so corrupt dimension tags must raise, not OOM
+        raise ValueError(f"TIFF: implausible dimensions {w}x{h}")
     spp = tags.get(277, [len(bits)])[0]
     if spp not in (1, 3):
         raise NotImplementedError(f"TIFF: {spp} samples/pixel")
     offsets = tags[273]
     counts = tags.get(279, [w * h * spp])
+    need = w * h * spp
     buf = bytearray()
     for off, cnt in zip(offsets, counts):
+        if len(buf) >= need:
+            break  # enough pixels — don't inflate bomb tails
         strip = data[off : off + cnt]
         if comp in (8, 32946):
-            strip = zlib.decompress(strip)
+            # decompressobj(max_length=...) is the capped API —
+            # zlib.decompress()'s bufsize arg is only an initial hint
+            strip = zlib.decompressobj().decompress(strip, need - len(buf))
         elif comp == 5:
             strip = _tiff_lzw(strip)
         elif comp == 32773:
             strip = _packbits(strip)
         buf += strip
-    need = w * h * spp
     if len(buf) < need:
         raise ValueError("TIFF: truncated strip data")
     arr = np.frombuffer(bytes(buf), dtype=np.uint8, count=need).reshape(

@@ -174,6 +174,11 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.extend(body)
     if width is None:
         raise ValueError("PNG missing IHDR")
+    # plausibility cap BEFORE inflating: a corrupt IHDR must fail
+    # closed as ValueError, not as a multi-GB allocation (the
+    # quarantine-not-OOM contract shared with decode_bmp)
+    if width <= 0 or height <= 0 or width * height > (1 << 26):
+        raise ValueError(f"PNG: implausible dimensions {width}x{height}")
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG color type {color_type} invalid")
     allowed = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
@@ -186,7 +191,11 @@ def decode_png(data: bytes) -> np.ndarray:
     ch = _CHANNELS[color_type]
     scale_gray = color_type in (0, 4) and bit_depth < 8
 
-    raw = zlib.decompress(bytes(idat))
+    # inflate capped at the canvas's worst-case filtered size (+1
+    # filter byte per row; interlace adds <2x) — a deflate bomb in a
+    # small-canvas PNG must not balloon past what the dims can use
+    max_raw = (width * ch * (bit_depth // 8 + 1) + 2) * (height + 8) * 2
+    raw = zlib.decompressobj().decompress(bytes(idat), max_raw)
 
     def one_pass(pw: int, ph: int, offset: int):
         bits_pp = ch * bit_depth

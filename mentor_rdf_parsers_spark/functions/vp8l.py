@@ -462,6 +462,12 @@ def _decode_image_stream(br: _BitReader, xsize: int, ysize: int,
     pos = 0
     group = groups[0]
     while pos < total:
+        if br.overrun:
+            # fail closed DURING the loop: a corrupt header claiming a
+            # 16k×16k canvas over an exhausted (zero-padded) reader
+            # must not spin 268M Python iterations before the
+            # post-loop check
+            raise ValueError("VP8L: truncated bitstream")
         if entropy is not None:
             x, y = pos % xsize, pos // xsize
             meta = (entropy[(y >> prefix_bits) * ew + (x >> prefix_bits)]

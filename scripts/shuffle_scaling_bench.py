@@ -93,6 +93,14 @@ def build_spark(cpus: int):
         # fixed-partitioning jobs; keep AQE for ad-hoc analytics.
         .config("spark.sql.adaptive.enabled",
                 os.environ.get("SHUFFLE_BENCH_AQE", "false"))
+        # Shuffle/checkpoint block compression codec (lz4 default).
+        # zstd compresses int64-pair shuffle blocks ~2x smaller for
+        # more CPU per byte — on a box whose 8-thread level is
+        # memory-bandwidth/spill-bound that trade can buy scaling
+        # headroom, and on a real cluster it cuts network bytes the
+        # same way. Exposed for A/B measurement.
+        .config("spark.io.compression.codec",
+                os.environ.get("SHUFFLE_BENCH_CODEC", "lz4"))
         .config("spark.driver.memory", "48g")
         # shuffle files + localCheckpoint blocks on tmpfs: on this
         # single box every thread shares ONE spinning/virtio disk for

@@ -91,6 +91,30 @@ class TestAdpcmCodec:
         assert float(np.corrcoef(dec[:, 1], right)[0, 1]) > 0.99
         assert abs(float(np.corrcoef(dec[:, 1], left)[0, 1])) < 0.05
 
+    def test_stereo_truncation_and_corruption_fail_closed(self):
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _try_decode_audio,
+        )
+
+        rng = np.random.default_rng(5)
+        sig = rng.uniform(-0.4, 0.4, (2000, 2)).astype(np.float32)
+        p = adpcm.encode_ima_wav(sig, rate=8000)
+        for cut in range(12, len(p), max(1, len(p) // 30)):
+            try:
+                adpcm.decode_ima_wav(p[:cut])
+            except ValueError:
+                pass
+            _try_decode_audio(p[:cut])  # dispatch never raises
+        for _ in range(30):
+            q = bytearray(p)
+            for _ in range(4):
+                q[rng.integers(0, len(q))] = rng.integers(0, 256)
+            try:
+                adpcm.decode_ima_wav(bytes(q))
+            except ValueError:
+                pass
+            _try_decode_audio(bytes(q))
+
     def test_variant_rejections_named(self):
         sig = np.zeros(100, dtype=np.float32)
         wav = bytearray(adpcm.encode_ima_wav(sig))

@@ -111,6 +111,115 @@ class TestBmpLowBpp:
         np.testing.assert_array_equal(imagex.decode_bmp(bmp), pal[idx])
 
 
+class TestDecompressionBombs:
+    """Corrupt headers claiming multi-GB canvases must raise ValueError
+    in milliseconds — found by the RLE fuzz (a bit-flipped height put
+    17 GB on an executor's heap before this guard existed)."""
+
+    def test_bmp_rle_huge_canvas_rejected(self):
+        import struct as _s
+
+        pal = np.zeros((4, 3), np.uint8)
+        p = bytearray(imagex.encode_bmp_rle8(np.zeros((4, 4), np.uint8), pal))
+        _s.pack_into("<ii", p, 18, 1 << 20, 1 << 20)  # 1Mx1M canvas
+        with pytest.raises(ValueError, match="implausible"):
+            imagex.decode_bmp(bytes(p))
+
+    def test_tiff_huge_dims_rejected(self):
+        import struct as _s
+
+        p = bytearray(imagex.encode_tiff(np.zeros((4, 4), np.uint8), 5))
+        # patch ImageWidth/ImageLength (tags 256/257) to 2^20 each
+        parsed = imagex._tiff_ifd(bytes(p))
+        assert parsed is not None
+        (ifd_off,) = _s.unpack("<I", p[4:8])
+        (n,) = _s.unpack("<H", p[ifd_off : ifd_off + 2])
+        for k in range(n):
+            e = ifd_off + 2 + 12 * k
+            (tag,) = _s.unpack("<H", p[e : e + 2])
+            if tag in (256, 257):
+                _s.pack_into("<I", p, e + 8, 1 << 20)
+        with pytest.raises(ValueError, match="implausible"):
+            imagex.decode_tiff(bytes(p))
+
+    def test_png_huge_dims_rejected(self):
+        import struct as _s
+
+        from mentor_rdf_parsers_spark.functions import png
+
+        p = bytearray(png.encode_png(np.zeros((4, 4, 3), np.uint8)))
+        ihdr = p.index(b"IHDR")
+        _s.pack_into(">II", p, ihdr + 4, 1 << 20, 1 << 20)
+        _s.pack_into(">I", p, ihdr + 17,
+                     __import__("zlib").crc32(p[ihdr : ihdr + 17]))
+        with pytest.raises(ValueError, match="implausible"):
+            png.decode_png(bytes(p))
+
+    def test_gif_huge_screen_and_stray_frame_rejected(self):
+        import struct as _s
+
+        from mentor_rdf_parsers_spark.functions import gif
+
+        p = bytearray(gif.encode_gif(np.zeros((4, 4, 3), np.uint8)))
+        q = bytearray(p)
+        _s.pack_into("<HH", q, 6, 0xFFFF, 0xFFFF)
+        with pytest.raises(ValueError, match="implausible"):
+            gif.decode_gif(bytes(q))
+        # frame descriptor outside the screen
+        fi = p.index(b"\x2c")  # image separator
+        _s.pack_into("<HH", p, fi + 5, 0x4000, 0x4000)  # fw, fh
+        with pytest.raises(ValueError, match="outside"):
+            gif.decode_gif(bytes(p))
+
+    def test_vp8l_truncated_huge_header_rejected_fast(self):
+        import time
+
+        from mentor_rdf_parsers_spark.functions import vp8l
+
+        # VP8L header claiming 16k x 16k with no stream behind it
+        bits = (16383) | (16383 << 14)
+        body = bytes([0x2F]) + bits.to_bytes(4, "little") + b"\x00\x00"
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            vp8l.decode_vp8l(body)
+        assert time.time() - t0 < 5.0
+
+
+class TestBmpRleFuzz:
+    """Truncated / bit-flipped RLE streams must fail closed: either a
+    decoded array (RLE tolerates truncation — the cursor just stops) or
+    ValueError/NotImplementedError through the image dispatch — never a
+    crash, hang, or unexpected exception type (the 100 TB
+    quarantine-not-fail contract)."""
+
+    def test_truncation_and_corruption_fail_closed(self):
+        from mentor_rdf_parsers_spark.operators.multimodal import (
+            _try_decode_image,
+        )
+
+        rng = np.random.default_rng(21)
+        idx8 = np.repeat(rng.integers(0, 9, (6, 8)), 2, axis=1).astype(np.uint8)
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        for p in (imagex.encode_bmp_rle8(idx8, pal),
+                  imagex.encode_bmp_rle4(idx8 % 16, pal)):
+            for cut in range(1, len(p), max(1, len(p) // 40)):
+                try:
+                    out = imagex.decode_bmp(p[:cut])
+                    assert out.shape == (6, 16, 3)
+                except (ValueError, NotImplementedError, IndexError):
+                    pass
+                _try_decode_image(p[:cut])  # dispatch never raises
+            for _ in range(40):
+                q = bytearray(p)
+                for _ in range(4):
+                    q[rng.integers(0, len(q))] = rng.integers(0, 256)
+                try:
+                    imagex.decode_bmp(bytes(q))
+                except (ValueError, NotImplementedError, IndexError):
+                    pass
+                _try_decode_image(bytes(q))
+
+
 def _pack_lowbpp_bmp(idx: np.ndarray, pal: np.ndarray, bpp: int) -> bytes:
     """Build an uncompressed low-bpp BMP (MSB-first packing, 4-byte row
     alignment, bottom-up) — exercises the decode-only path."""
