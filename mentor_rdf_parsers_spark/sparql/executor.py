@@ -252,11 +252,19 @@ class Executor:
         proj: dict[str, Column] = {}
 
         def bind(term, kind_col, v_col, lang_col, dt_col):
-            if term[0] == "var":
-                proj[term[1]] = _term_struct(kind_col, v_col, lang_col, dt_col)
-            elif term[0] == "bnode":
+            if term[0] in ("var", "bnode"):
                 # bnode in pattern = fresh variable scoped to the query
-                proj["?" + term[1]] = _term_struct(kind_col, v_col, lang_col, dt_col)
+                name = term[1] if term[0] == "var" else "?" + term[1]
+                struct = _term_struct(kind_col, v_col, lang_col, dt_col)
+                if name in proj:
+                    # repeated variable WITHIN one pattern (?a ?a ?a):
+                    # every occurrence must bind the same term (found by
+                    # the round-5 differential fuzz vs the naive
+                    # evaluator — the overwrite silently dropped the
+                    # constraint)
+                    cond.append(struct.eqNullSafe(proj[name]))
+                else:
+                    proj[name] = struct
             elif term[0] == "iri":
                 cond.append((kind_col == "iri") & (v_col == term[1]))
             elif term[0] == "literal":
@@ -402,10 +410,28 @@ class Executor:
         shared = [c for c in left.columns if c in right.columns and not c.startswith("__")]
         lx = left.drop("__exists") if "__exists" in left.columns else left
         rx = right.drop("__exists") if "__exists" in right.columns else right
+        # A bindings-free frame is a 0-or-1-row EXISTENCE GATE (an
+        # all-constant pattern): zero rows must annihilate an inner
+        # join, not act as identity. The round-5 differential fuzz
+        # caught the old `return other side` shortcut ignoring the
+        # row count (`<s> <p> <o> .` matching nothing was a no-op).
+        if not lx.columns and not rx.columns:
+            return (
+                left.select(F.lit(1).alias("__exists")).limit(1)
+                .join(right.select(F.lit(1).alias("__e2")).limit(1),
+                      F.lit(True), how)
+                .select(F.lit(1).alias("__exists"))
+            )
         if not lx.columns:
-            return rx
+            gate = left.select(F.lit(1).alias("__gate")).limit(1)
+            return gate.join(rx, F.lit(True), how).drop("__gate")
         if not rx.columns:
-            return lx
+            if how == "left":
+                # OPTIONAL over a constant pattern binds nothing and
+                # never removes left rows, whether or not it matched
+                return lx
+            gate = right.select(F.lit(1).alias("__gate")).limit(1)
+            return lx.join(gate, F.lit(True), "inner").drop("__gate")
         if shared:
             # SPARQL compatible-join: an UNBOUND (NULL) shared variable is
             # compatible with any binding and the merged solution takes the
@@ -528,7 +554,14 @@ class Executor:
                 df = self._apply_filter(df, fexpr, graph)
             return df
         if t == "optional":
-            return self._compile_pattern(node["pattern"], graph)
+            # a bare OPTIONAL (the parser collapses one-element groups, so
+            # `{ OPTIONAL { P } }` arrives without its group wrapper) is
+            # LeftJoin(unit, P): when P matches nothing the result is ONE
+            # solution with every variable unbound, not zero solutions
+            # (round-5 differential fuzz vs the naive evaluator)
+            unit = self.spark.range(1).select(F.lit(1).alias("__exists"))
+            inner = self._compile_pattern(node["pattern"], graph)
+            return self._join_bindings(unit, inner, "left")
         if t == "union":
             left = self._compile_pattern(node["left"], graph)
             right = self._compile_pattern(node["right"], graph)

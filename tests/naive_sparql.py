@@ -1,0 +1,205 @@
+"""Independent in-memory SPARQL core evaluator — the differential
+oracle for fuzzing the Spark executor (round-5 extension of VERDICT r4
+ask #6 from the parsers to execution).
+
+This is a from-the-spec implementation of the SPARQL 1.1/1.2 algebra
+core (join / left-join / union / filter over solution-mapping
+multisets, with three-valued filter logic), sharing NO code with
+``mentor_rdf_parsers_spark.sparql.executor`` — no parser, no Spark, no
+term serialization.  Solutions are plain dicts; triples are tuples.
+Anything the two implementations disagree on is a bug in one of them.
+
+Term representation (matches the parsers' tuples so the fuzz driver
+can build both sides from one sample):
+
+    ("iri", value) | ("bnode", label) | ("literal", value, lang, dt)
+
+Pattern slots are terms or ("var", name).  Expression trees:
+
+    ("bound", var) | ("sameterm", a, b) | ("eq", a, b)
+    | ("isiri", a) | ("isliteral", a) | ("isblank", a)
+    | ("lt"/"gt", a, b)            # numeric, xsd:integer only
+    | ("and"/"or", e1, e2) | ("not", e)
+
+where a/b are ("var", name) or term constants.  Filter evaluation is
+three-valued: True / False / ERROR, per SPARQL 17.2 (errors eliminate
+the row; && / || recover per the truth tables; ! preserves error).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+ERROR = object()  # the third truth value
+
+
+# --------------------------------------------------------------- algebra
+
+def match_pattern(pattern, triples):
+    """Multiset of solution mappings for one triple pattern."""
+    out = []
+    for t in triples:
+        binding = {}
+        ok = True
+        for slot, term in zip(pattern, t):
+            if slot[0] == "var":
+                name = slot[1]
+                if name in binding and binding[name] != term:
+                    ok = False
+                    break
+                binding[name] = term
+            elif slot != term:
+                ok = False
+                break
+        if ok:
+            out.append(binding)
+    return out
+
+
+def compatible(a: dict, b: dict) -> bool:
+    return all(a[k] == b[k] for k in a.keys() & b.keys())
+
+
+def join(left: list, right: list) -> list:
+    return [
+        {**l, **r} for l in left for r in right if compatible(l, r)
+    ]
+
+
+def left_join(left: list, right: list) -> list:
+    out = []
+    for l in left:
+        exts = [{**l, **r} for r in right if compatible(l, r)]
+        out.extend(exts if exts else [l])
+    return out
+
+
+# ----------------------------------------------------------- expressions
+
+def _resolve(operand, sol):
+    """Operand → term, None (unbound var) — constants pass through."""
+    if operand[0] == "var":
+        return sol.get(operand[1])
+    return operand
+
+
+def _numeric(term) -> Optional[int]:
+    if term is not None and term[0] == "literal" and term[3] == XSD_INTEGER:
+        try:
+            return int(term[1])
+        except ValueError:
+            return None
+    return None
+
+
+def eval_expr(expr, sol):
+    """→ True | False | ERROR (SPARQL 17.2 three-valued logic)."""
+    op = expr[0]
+    if op == "and":
+        a, b = eval_expr(expr[1], sol), eval_expr(expr[2], sol)
+        if a is False or b is False:
+            return False
+        if a is ERROR or b is ERROR:
+            return ERROR
+        return True
+    if op == "or":
+        a, b = eval_expr(expr[1], sol), eval_expr(expr[2], sol)
+        if a is True or b is True:
+            return True
+        if a is ERROR or b is ERROR:
+            return ERROR
+        return False
+    if op == "not":
+        a = eval_expr(expr[1], sol)
+        return ERROR if a is ERROR else (not a)
+
+    if op == "bound":
+        return expr[1][1] in sol
+
+    a = _resolve(expr[1], sol)
+    if op in ("isiri", "isliteral", "isblank"):
+        if a is None:
+            return ERROR
+        return a[0] == {"isiri": "iri", "isliteral": "literal",
+                        "isblank": "bnode"}[op]
+
+    b = _resolve(expr[2], sol)
+    if a is None or b is None:
+        return ERROR  # unbound argument → type error
+    if op == "sameterm":
+        return a == b
+    if op == "eq":
+        # RDFterm-equal: same term → true; both literals, different
+        # terms → type error unless both are of a value-comparable
+        # datatype (here: xsd:integer value compare, plain/lang string
+        # compare); any other combination → false.
+        if a == b:
+            return True
+        if a[0] == "literal" and b[0] == "literal":
+            na, nb = _numeric(a), _numeric(b)
+            if na is not None and nb is not None:
+                return na == nb
+            simple = lambda t: t[2] is None and t[3] is None  # noqa: E731
+            if simple(a) and simple(b):
+                return False  # same-type values, genuinely unequal
+            return ERROR
+        return False
+    if op in ("lt", "gt"):
+        na, nb = _numeric(a), _numeric(b)
+        if na is None or nb is None:
+            return ERROR  # non-numeric operand → type error
+        return na < nb if op == "lt" else na > nb
+    raise AssertionError(f"unknown expr {expr}")
+
+
+# ---------------------------------------------------------------- groups
+
+def eval_group(elements, triples):
+    """SPARQL 18.2.2 group translation: fold elements left-to-right
+    (OPTIONAL → LeftJoin with the group-so-far), filters collected and
+    applied to the WHOLE group at the end."""
+    sols = [{}]
+    filters = []
+    for el in elements:
+        kind = el[0]
+        if kind == "pattern":
+            sols = join(sols, match_pattern(el[1], triples))
+        elif kind == "optional":
+            sols = left_join(sols, eval_group(el[1], triples))
+        elif kind == "union":
+            sols = join(
+                sols,
+                eval_group(el[1], triples) + eval_group(el[2], triples),
+            )
+        elif kind == "filter":
+            filters.append(el[1])
+        else:
+            raise AssertionError(f"unknown element {el}")
+    for f in filters:
+        sols = [s for s in sols if eval_expr(f, s) is True]
+    return sols
+
+
+def eval_select(elements, triples, project, distinct=False):
+    """→ multiset (sorted list) of projected row tuples; each cell is
+    the term tuple or None when unbound."""
+    sols = eval_group(elements, triples)
+    rows = [tuple(s.get(v) for v in project) for s in sols]
+    if distinct:
+        rows = list(set(rows))
+    return sorted(rows, key=repr)
+
+
+def group_vars(elements) -> set:
+    """All variables appearing anywhere in the group (SELECT * scope)."""
+    out: set = set()
+    for el in elements:
+        if el[0] == "pattern":
+            out |= {s[1] for s in el[1] if s[0] == "var"}
+        elif el[0] == "optional":
+            out |= group_vars(el[1])
+        elif el[0] == "union":
+            out |= group_vars(el[1]) | group_vars(el[2])
+    return out
