@@ -298,17 +298,27 @@ class Executor:
         """Property-path pattern → (start, end) bindings joined to s/o."""
         pairs = self._path_pairs(path, graph)
         out_cols = {}
+        df = pairs
         if s[0] == "var":
             out_cols[s[1]] = F.col("__src")
         if o[0] == "var":
-            out_cols[o[1]] = F.col("__dst")
-        df = pairs
+            if o[1] in out_cols:
+                # `?a <path> ?a`: both endpoints are the same variable —
+                # constrain, don't overwrite (same bug class the round-5
+                # differential fuzz caught in _pattern_df)
+                df = df.where(F.col("__src").eqNullSafe(F.col("__dst")))
+            else:
+                out_cols[o[1]] = F.col("__dst")
         if s[0] != "var":
             df = df.where(F.col("__src") == _const_term(s))
         if o[0] != "var":
             df = df.where(F.col("__dst") == _const_term(o))
         if not out_cols:
-            return df.select(F.lit(1).alias("__exists")).limit(1)
+            # both endpoints constant: μ0 multiplicity = number of path
+            # matches (e.g. `<s> <p>/<q> <o>` with two intermediates is
+            # μ0 × 2 per the spec's fresh-middle-variable translation) —
+            # no limit(1) here, _join_bindings multiplies rows through
+            return df.select(F.lit(1).alias("__exists"))
         return df.select([c.alias(n) for n, c in out_cols.items()])
 
     def _edge_df(self, pred_iri: str, graph) -> DataFrame:
@@ -330,19 +340,23 @@ class Executor:
                 F.col("__dst").alias("__src"), F.col("__src").alias("__dst")
             )
         if op == "seq":
+            # spec §18.4 translates X (P/Q) Y to a join over a fresh
+            # middle variable — MULTISET semantics: two distinct
+            # intermediate nodes yield two copies of (src, dst). Only
+            # the closure modifiers (? * +) are defined set-wise.
+            # (round-5 differential fuzz vs the naive evaluator)
             left = self._path_pairs(path["left"], graph)
             right = self._path_pairs(path["right"], graph)
             return (
                 left.alias("l")
                 .join(right.alias("r"), F.col("l.__dst") == F.col("r.__src"))
                 .select(F.col("l.__src").alias("__src"), F.col("r.__dst").alias("__dst"))
-                .distinct()
             )
         if op == "alt":
+            # bag union per spec (UNION of the two translations)
             return (
                 self._path_pairs(path["left"], graph)
                 .union(self._path_pairs(path["right"], graph))
-                .distinct()
             )
         if op == "neg":
             t = self._scan(graph).where(F.col("p_kind") == "iri")
@@ -361,10 +375,12 @@ class Executor:
                     _term_struct(F.col("o_kind"), F.col("o"), F.col("o_lang"), F.col("o_dt")).alias("__src"),
                     _term_struct(F.col("s_kind"), F.col("s"), F.lit(None), F.lit(None)).alias("__dst"),
                 ))
+            # one solution per matching TRIPLE (multiset): two different
+            # non-excluded predicates linking the same (s, o) are two rows
             out = parts[0]
             for p_ in parts[1:]:
                 out = out.union(p_)
-            return out.distinct()
+            return out
         if op == "mod":
             inner = self._path_pairs(path["inner"], graph)
             if path["mod"] == "?":
@@ -410,28 +426,31 @@ class Executor:
         shared = [c for c in left.columns if c in right.columns and not c.startswith("__")]
         lx = left.drop("__exists") if "__exists" in left.columns else left
         rx = right.drop("__exists") if "__exists" in right.columns else right
-        # A bindings-free frame is a 0-or-1-row EXISTENCE GATE (an
-        # all-constant pattern): zero rows must annihilate an inner
-        # join, not act as identity. The round-5 differential fuzz
-        # caught the old `return other side` shortcut ignoring the
-        # row count (`<s> <p> <o> .` matching nothing was a no-op).
+        # A bindings-free frame is a MULTISET OF EMPTY SOLUTIONS — k rows
+        # = μ0 with multiplicity k (an all-constant pattern is a 0-or-1
+        # row existence gate; a UNION of two matching gates is μ0 × 2).
+        # Joining multiplies multiplicities, so zero rows annihilate an
+        # inner join (never act as identity) and m rows replicate the
+        # other side m times; a left join keeps left rows when the right
+        # is empty. A join on TRUE has exactly these semantics for both
+        # `inner` and `left`, so the `how` passes straight through.
+        # (The round-5 differential fuzz caught both the old
+        # `return other side` shortcut — `<s> <p> <o> .` matching
+        # nothing was a no-op — and a limit(1) here that collapsed
+        # union multiplicities.)
         if not lx.columns and not rx.columns:
             return (
-                left.select(F.lit(1).alias("__exists")).limit(1)
-                .join(right.select(F.lit(1).alias("__e2")).limit(1),
+                left.select(F.lit(1).alias("__exists"))
+                .join(right.select(F.lit(1).alias("__e2")),
                       F.lit(True), how)
                 .select(F.lit(1).alias("__exists"))
             )
         if not lx.columns:
-            gate = left.select(F.lit(1).alias("__gate")).limit(1)
+            gate = left.select(F.lit(1).alias("__gate"))
             return gate.join(rx, F.lit(True), how).drop("__gate")
         if not rx.columns:
-            if how == "left":
-                # OPTIONAL over a constant pattern binds nothing and
-                # never removes left rows, whether or not it matched
-                return lx
-            gate = right.select(F.lit(1).alias("__gate")).limit(1)
-            return lx.join(gate, F.lit(True), "inner").drop("__gate")
+            gate = right.select(F.lit(1).alias("__gate"))
+            return lx.join(gate, F.lit(True), how).drop("__gate")
         if shared:
             # SPARQL compatible-join: an UNBOUND (NULL) shared variable is
             # compatible with any binding and the merged solution takes the
@@ -511,9 +530,13 @@ class Executor:
                     df = self._join_bindings(base, inner, "left")
                     continue
                 if sub["type"] == "minus":
-                    inner = self._compile_pattern(sub["pattern"], graph)
                     if df is None:
-                        raise SparqlExecutionError("MINUS with empty left side")
+                        # Minus({μ0}, Ω) = {μ0}: the empty solution's
+                        # domain never overlaps any μ2, so a MINUS that
+                        # opens a group removes nothing (spec §18.5) —
+                        # don't even evaluate the right side
+                        continue
+                    inner = self._compile_pattern(sub["pattern"], graph)
                     shared = [c for c in df.columns
                               if c in inner.columns and not c.startswith("__")]
                     if shared:
@@ -576,7 +599,9 @@ class Executor:
         if t == "subselect":
             return self._run_select(node["query"], keep_structs=True)
         if t == "minus":
-            raise SparqlExecutionError("MINUS must appear inside a group")
+            # parser collapses one-element groups, so `{ MINUS { P } }`
+            # can arrive bare: Minus({μ0}, Ω) = {μ0} (see group handling)
+            return self.spark.range(1).select(F.lit(1).alias("__exists"))
         if t == "service":
             # Federation-lite (r5): a SERVICE IRI resolves against the
             # locally registered dataset map (Executor(services={iri:
@@ -649,7 +674,9 @@ class Executor:
         outs = []
         for mask, rows in groups.items():
             if not mask:
-                outs.append(df)
+                # each all-UNDEF row is one empty solution: Join(Ω, {μ0})
+                # = Ω once PER ROW (two UNDEF rows double the multiset)
+                outs.extend(df for _ in rows)
                 continue
             vdf = self._values_df({"vars": list(mask), "rows": rows})
             outs.append(self._join_bindings(df, vdf))

@@ -3,8 +3,9 @@ oracle for fuzzing the Spark executor (round-5 extension of VERDICT r4
 ask #6 from the parsers to execution).
 
 This is a from-the-spec implementation of the SPARQL 1.1/1.2 algebra
-core (join / left-join / union / filter over solution-mapping
-multisets, with three-valued filter logic), sharing NO code with
+core (join / left-join / union / minus / VALUES-with-UNDEF / filter
+over solution-mapping multisets, with three-valued filter logic),
+sharing NO code with
 ``mentor_rdf_parsers_spark.sparql.executor`` — no parser, no Spark, no
 term serialization.  Solutions are plain dicts; triples are tuples.
 Anything the two implementations disagree on is a bug in one of them.
@@ -73,6 +74,95 @@ def left_join(left: list, right: list) -> list:
     for l in left:
         exts = [{**l, **r} for r in right if compatible(l, r)]
         out.extend(exts if exts else [l])
+    return out
+
+
+def minus(left: list, right: list) -> list:
+    """SPARQL §18.5 Minus: drop μ1 iff ∃ μ2 compatible with μ1 AND
+    dom(μ1) ∩ dom(μ2) ≠ ∅ (disjoint-domain μ2 removes nothing)."""
+    return [
+        l for l in left
+        if not any(compatible(l, r) and (l.keys() & r.keys()) for r in right)
+    ]
+
+
+# ---------------------------------------------------------------- paths
+
+def graph_nodes(triples) -> set:
+    """All subject/object terms (the spec's zero-length-path domain)."""
+    out: set = set()
+    for (s, _p, o) in triples:
+        out.add(s)
+        out.add(o)
+    return out
+
+
+def path_pairs(path, triples) -> list:
+    """Multiset of (subj, obj) pairs for a property-path expression.
+
+    Path AST (independent of the executor's):
+        ("iri", p)                       plain step
+        ("inv", P) | ("seq", P, Q) | ("alt", P, Q)
+        ("mod", P, "?"|"*"|"+")
+        ("negset", [p_iri, ...])         forward-only !(…)
+
+    Spec §18.4 semantics: seq/alt/inv/negset preserve multiplicity
+    (seq is a join over a fresh middle variable, alt a bag union,
+    negset one row per matching triple); the closure modifiers ? * +
+    are DISTINCT over node pairs, with zero-length paths ranging over
+    all graph nodes."""
+    if path[0] == "iri":
+        return [(s, o) for (s, p, o) in triples if p == path]
+    op = path[0]
+    if op == "inv":
+        return [(o, s) for (s, o) in path_pairs(path[1], triples)]
+    if op == "seq":
+        lefts = path_pairs(path[1], triples)
+        rights = path_pairs(path[2], triples)
+        return [(s, o2) for (s, m) in lefts for (m2, o2) in rights if m == m2]
+    if op == "alt":
+        return path_pairs(path[1], triples) + path_pairs(path[2], triples)
+    if op == "negset":
+        excluded = {p[1] for p in path[1]}
+        return [(s, o) for (s, p, o) in triples if p[1] not in excluded]
+    if op == "mod":
+        inner = set(path_pairs(path[1], triples))
+        if path[2] == "?":
+            pairs = inner | {(n, n) for n in graph_nodes(triples)}
+            return sorted(pairs, key=repr)
+        closure = set(inner)
+        while True:
+            new = {
+                (s, o2)
+                for (s, m) in closure for (m2, o2) in closure if m == m2
+            } - closure
+            if not new:
+                break
+            closure |= new
+        if path[2] == "*":
+            closure |= {(n, n) for n in graph_nodes(triples)}
+        return sorted(closure, key=repr)
+    raise AssertionError(f"unknown path {path}")
+
+
+def match_path_pattern(s_slot, path, o_slot, triples) -> list:
+    """(s_slot, path, o_slot) → multiset of solution mappings."""
+    out = []
+    for (sv, ov) in path_pairs(path, triples):
+        binding = {}
+        ok = True
+        for slot, term in ((s_slot, sv), (o_slot, ov)):
+            if slot[0] == "var":
+                name = slot[1]
+                if name in binding and binding[name] != term:
+                    ok = False
+                    break
+                binding[name] = term
+            elif slot != term:
+                ok = False
+                break
+        if ok:
+            out.append(binding)
     return out
 
 
@@ -166,6 +256,9 @@ def eval_group(elements, triples):
         kind = el[0]
         if kind == "pattern":
             sols = join(sols, match_pattern(el[1], triples))
+        elif kind == "pathpattern":
+            _, s_slot, pth, o_slot = el
+            sols = join(sols, match_path_pattern(s_slot, pth, o_slot, triples))
         elif kind == "optional":
             sols = left_join(sols, eval_group(el[1], triples))
         elif kind == "union":
@@ -173,6 +266,16 @@ def eval_group(elements, triples):
                 sols,
                 eval_group(el[1], triples) + eval_group(el[2], triples),
             )
+        elif kind == "minus":
+            sols = minus(sols, eval_group(el[1], triples))
+        elif kind == "values":
+            # el = ("values", [varname, ...], [row, ...]); an UNDEF cell
+            # (None) binds nothing, so it's simply absent from the mapping
+            vsols = [
+                {v: c for v, c in zip(el[1], row) if c is not None}
+                for row in el[2]
+            ]
+            sols = join(sols, vsols)
         elif kind == "filter":
             filters.append(el[1])
         else:
@@ -198,8 +301,13 @@ def group_vars(elements) -> set:
     for el in elements:
         if el[0] == "pattern":
             out |= {s[1] for s in el[1] if s[0] == "var"}
+        elif el[0] == "pathpattern":
+            out |= {s[1] for s in (el[1], el[3]) if s[0] == "var"}
         elif el[0] == "optional":
             out |= group_vars(el[1])
         elif el[0] == "union":
             out |= group_vars(el[1]) | group_vars(el[2])
+        elif el[0] == "values":
+            out |= set(el[1])
+        # "minus" contributes nothing: its variables are not in scope
     return out

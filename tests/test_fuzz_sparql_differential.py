@@ -5,7 +5,8 @@ queries.
 Round-5 extension of VERDICT r4 ask #6 (property-based hardening) from
 the parsers to EXECUTION: hypothesis draws a random small graph and a
 random SELECT query over the algebra core — BGP joins, OPTIONAL
-(left-join), UNION, nested groups, three-valued FILTER logic (BOUND /
+(left-join), UNION, MINUS (§18.5 domain-overlap semantics), VALUES
+with UNDEF cells, nested groups, three-valued FILTER logic (BOUND /
 sameTerm / RDFterm-equal / isIRI-isLiteral-isBlank / numeric
 comparison, combined with && || !), projection subsets, DISTINCT, and
 GROUP BY + COUNT(*/var/DISTINCT var) — renders it to SPARQL text, runs
@@ -48,6 +49,9 @@ O_LITS = [
 ]
 O_TERMS = S_IRIS + S_BNODES + O_LITS
 
+# an RDF graph is a SET of triples — dedup at draw time so both sides
+# see set semantics (the naive evaluator is multiset over its input,
+# and a duplicated triple would double pattern-match multiplicities)
 triples_st = st.lists(
     st.tuples(
         st.sampled_from(S_IRIS + S_BNODES),
@@ -56,6 +60,7 @@ triples_st = st.lists(
     ),
     min_size=1,
     max_size=12,
+    unique=True,
 )
 
 # pattern slots: blank-node constants are unrenderable in SPARQL (a
@@ -100,12 +105,25 @@ expr_st = st.recursive(
 filter_el = st.builds(lambda e: ("filter", e), expr_st)
 
 
+values_cell = st.one_of(st.none(), st.sampled_from(S_IRIS + O_LITS))
+
+
+@st.composite
+def values_element(draw):
+    vs = draw(st.lists(st.sampled_from(list("abcd")), min_size=1,
+                       max_size=2, unique=True))
+    rows = draw(st.lists(
+        st.tuples(*[values_cell for _ in vs]), min_size=1, max_size=3))
+    return ("values", vs, rows)
+
+
 def group_st(depth: int):
-    els = [pattern_el, filter_el]
+    els = [pattern_el, filter_el, values_element()]
     if depth > 0:
         sub = group_st(depth - 1)
         els.append(st.builds(lambda g: ("optional", g), sub))
         els.append(st.builds(lambda a, b: ("union", a, b), sub, sub))
+        els.append(st.builds(lambda g: ("minus", g), sub))
     return st.lists(st.one_of(*els), min_size=1, max_size=4)
 
 
@@ -179,6 +197,17 @@ def render_group(elements) -> str:
                 "{ " + render_group(el[1]) + " } UNION { "
                 + render_group(el[2]) + " }"
             )
+        elif el[0] == "minus":
+            parts.append("MINUS { " + render_group(el[1]) + " }")
+        elif el[0] == "values":
+            rows = " ".join(
+                "(" + " ".join(
+                    "UNDEF" if c is None else sparql_token(c) for c in row
+                ) + ")"
+                for row in el[2]
+            )
+            head = " ".join(f"?{v}" for v in el[1])
+            parts.append(f"VALUES ({head}) {{ {rows} }}")
         elif el[0] == "filter":
             parts.append(f"FILTER {render_expr(el[1])}")
     return " ".join(parts)
@@ -305,6 +334,77 @@ def test_group_count_matches_naive(spark, case):
          for r in out),
         key=repr,
     )
+    assert actual == expected, query
+
+
+# --- property paths ----------------------------------------------------------
+
+path_atom = st.sampled_from(P_IRIS)
+
+
+def path_st(depth: int):
+    if depth == 0:
+        return path_atom
+    sub = path_st(depth - 1)
+    return st.one_of(
+        path_atom,
+        st.builds(lambda a: ("inv", a), sub),
+        st.builds(lambda a, b: ("seq", a, b), sub, sub),
+        st.builds(lambda a, b: ("alt", a, b), sub, sub),
+        st.builds(lambda a, m: ("mod", a, m), sub,
+                  st.sampled_from(["?", "*", "+"])),
+        st.builds(lambda ps: ("negset", ps),
+                  st.lists(st.sampled_from(P_IRIS), min_size=1, max_size=2,
+                           unique=True)),
+    )
+
+
+def sparql_path(p) -> str:
+    if p[0] == "iri":
+        return f"<{p[1]}>"
+    if p[0] == "inv":
+        return f"^({sparql_path(p[1])})"
+    if p[0] == "seq":
+        return f"({sparql_path(p[1])} / {sparql_path(p[2])})"
+    if p[0] == "alt":
+        return f"({sparql_path(p[1])} | {sparql_path(p[2])})"
+    if p[0] == "mod":
+        return f"({sparql_path(p[1])}){p[2]}"
+    if p[0] == "negset":
+        return "!(" + " | ".join(f"<{i[1]}>" for i in p[1]) + ")"
+    raise AssertionError(p)
+
+
+@st.composite
+def path_case(draw):
+    data = draw(triples_st)
+    pth = draw(path_st(2))
+    s_slot = draw(st.sampled_from(VARS[:2] + S_IRIS))
+    o_slot = draw(st.sampled_from(VARS[:2] + S_IRIS + O_LITS))
+    if s_slot[0] != "var" and o_slot[0] != "var":
+        s_slot = ("var", "a")
+    proj = sorted({t[1] for t in (s_slot, o_slot) if t[0] == "var"})
+    return data, s_slot, pth, o_slot, proj
+
+
+@given(path_case())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_path_matches_naive(spark, case):
+    data, s_slot, pth, o_slot, proj = case
+    from tests.naive_sparql import eval_select
+
+    els = [("pathpattern", s_slot, pth, o_slot)]
+    expected = eval_select(els, data, proj)
+    query = (
+        "SELECT " + " ".join(f"?{v}" for v in proj)
+        + " WHERE { " + sparql_token(s_slot) + " " + sparql_path(pth)
+        + " " + sparql_token(o_slot) + " . }"
+    )
+    actual = run_executor(spark, data, query, proj)
     assert actual == expected, query
 
 
