@@ -630,6 +630,15 @@ class Executor:
                 f"dataset (pass services={{iri: triples_df}}); remote "
                 f"federation is out of scope"
             )
+        if t == "bind":
+            # parser collapses one-element groups, so `{ BIND(e AS ?v) }`
+            # can arrive bare: Extend({μ0}, v, e) — one solution, with v
+            # unbound when the expression errors (same collapse class as
+            # bare OPTIONAL/MINUS; round-5 differential fuzz)
+            unit = self.spark.range(1).select(F.lit(1).alias("__exists"))
+            return unit.withColumn(
+                node["var"], self._expr_term(node["expr"], unit)
+            ).drop("__exists")
         raise SparqlExecutionError(f"unsupported pattern {t}")
 
     def _values_df(self, node) -> DataFrame:
@@ -690,10 +699,31 @@ class Executor:
     def _apply_filter(self, df: DataFrame, expr, graph) -> DataFrame:
         if isinstance(expr, dict) and expr.get("op") == "exists":
             inner = self._compile_pattern(expr["pattern"], graph)
-            shared = [c for c in df.columns if c in inner.columns]
+            shared = [c for c in df.columns
+                      if c in inner.columns and not c.startswith("__")]
             how = "left_anti" if expr["neg"] else "left_semi"
             if shared:
-                return df.join(inner.select(shared).distinct(), on=shared, how=how)
+                rx = inner.select(shared).distinct()
+                # §18.6 substitution semantics: a row whose shared var is
+                # UNBOUND (NULL, e.g. out of an OPTIONAL) leaves that
+                # variable FREE in the substituted pattern — it matches
+                # ANY inner binding, so plain equality (which drops NULL
+                # keys, and under left_anti wrongly KEEPS the row) is
+                # wrong. Split so the all-bound majority still plans as
+                # an equi semi/anti join (the 100 TB path) and only the
+                # some-unbound residual pays the compat (NULL-is-
+                # wildcard) non-equi join.  (Round-5 differential fuzz.)
+                any_null = F.lit(False)
+                for c in shared:
+                    any_null = any_null | F.col(c).isNull()
+                bound = df.where(~any_null).join(rx, on=shared, how=how)
+                resid = df.where(any_null)
+                li, ri = resid.alias("__exl"), rx.alias("__exr")
+                cond = F.lit(True)
+                for c in shared:
+                    lc, rc = F.col(f"__exl.{c}"), F.col(f"__exr.{c}")
+                    cond = cond & (lc.isNull() | (lc == rc))
+                return bound.unionByName(li.join(ri, cond, how))
             has = inner.limit(1).count() > 0
             keep = (not has) if expr["neg"] else has
             return df if keep else df.limit(0)
@@ -722,11 +752,16 @@ class Executor:
             )
         if op in ("=", "!=", "<", ">", "<=", ">=", "&&", "||", "!", "in",
                   "not in", "exists"):
+            # three-valued: a type ERROR (NULL boolean) must surface as
+            # an ERROR term (NULL struct) so BIND leaves the target
+            # UNBOUND — `otherwise("false")` silently converted errors
+            # to false (round-5 differential fuzz)
             b = self._expr_bool(e, df)
-            return _term_struct(
-                F.lit("literal"),
-                F.when(b, F.lit("true")).otherwise(F.lit("false")),
-                F.lit(""), F.lit(XSD + "boolean"),
+            v = F.when(b, F.lit("true")).when(~b, F.lit("false"))
+            return F.when(
+                v.isNotNull(),
+                _term_struct(F.lit("literal"), v, F.lit(""),
+                             F.lit(XSD + "boolean")),
             )
         raise SparqlExecutionError(f"unsupported expression {op}")
 
@@ -783,32 +818,56 @@ class Executor:
         if op == "!":
             return ~self._expr_bool(e["args"][0], df)
         if op in ("=", "!=", "<", ">", "<=", ">="):
+            # THREE-VALUED (§17.2/§17.3): a type error is a NULL Column —
+            # Spark's AND/OR/NOT over NULL is exactly SPARQL's Kleene
+            # tables, `where()` drops NULL like it drops false, and an
+            # un-defaulted `F.when` chain yields NULL for the error arm.
+            # The old two-valued fallbacks ("a"@en = "a" → false instead
+            # of error, string-ordering any mixed pair) survived plain
+            # FILTERs but inverted under `!` — caught by the round-5
+            # differential fuzz.
             l, r = e["args"]
             lt, rt = self._expr_term(l, df), self._expr_term(r, df)
             lnum, lval = self._numericish(l, df)
             rnum, rval = self._numericish(r, df)
             both_num = lnum & rnum
-            if op == "=":
-                return F.when(both_num, lval == rval).otherwise(
-                    (lt["kind"] == rt["kind"]) & (lt["v"] == rt["v"])
-                    & (lt["lang"] == rt["lang"]) & (lt["dt"] == rt["dt"])
+            _simple = lambda t: (  # noqa: E731 — plain/xsd:string literal
+                (t["kind"] == "literal") & t["dt"].isin("", XSD + "string")
+                & (t["lang"] == "")
+            )
+            both_simple = _simple(lt) & _simple(rt)
+            same_term = (
+                (lt["kind"] == rt["kind"]) & (lt["v"] == rt["v"])
+                & (lt["lang"] == rt["lang"]) & (lt["dt"] == rt["dt"])
+            )
+            if op in ("=", "!="):
+                both_lit = (lt["kind"] == "literal") & (rt["kind"] == "literal")
+                eq = (
+                    F.when(both_num, lval == rval)   # value compare; bad lexical → NULL
+                    .when(same_term, F.lit(True))    # RDFterm-equal
+                    .when(both_simple, F.lit(False))  # same (string) type, ≠ values
+                    .when(both_lit, F.lit(None).cast("boolean"))  # incomparable literals
+                    .otherwise(F.lit(False))         # distinct non-literal terms
                 )
-            if op == "!=":
-                return ~self._expr_bool({"op": "=", "args": e["args"]}, df)
+                return ~eq if op == "!=" else eq
             cmpmap = {
                 "<": lambda a, b: a < b, ">": lambda a, b: a > b,
                 "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b,
             }
-            return F.when(both_num, cmpmap[op](lval, rval)).otherwise(
-                cmpmap[op](lt["v"], rt["v"])
+            # ordering is defined for numeric×numeric and string×string
+            # (fn:compare = codepoint order = Spark UTF8 binary order);
+            # every other pairing is a type error → NULL (no otherwise)
+            return (
+                F.when(both_num, cmpmap[op](lval, rval))
+                .when(both_simple, cmpmap[op](lt["v"], rt["v"]))
             )
         if op in ("in", "not in"):
-            target = self._expr_term(e["args"][0], df)
-            opts = [self._expr_term(a, df) for a in e["args"][1:]]
+            # IN ≡ (x = t1 || x = t2 || …): fold with Kleene OR so a
+            # type-erroring comparison poisons a non-match but not a hit
             cond = F.lit(False)
-            for o in opts:
-                cond = cond | ((target["kind"] == o["kind"]) & (target["v"] == o["v"])
-                               & (target["lang"] == o["lang"]) & (target["dt"] == o["dt"]))
+            for opt in e["args"][1:]:
+                cond = cond | self._expr_bool(
+                    {"op": "=", "args": [e["args"][0], opt]}, df)
             return ~cond if op == "not in" else cond
         if op == "call":
             return self._call_bool(e, df)
@@ -864,9 +923,27 @@ class Executor:
         t = self._call_term(e, df)
         return (t["dt"] == XSD + "boolean") & (t["v"] == "true")
 
+    _BOOLEAN_CALLS = frozenset({
+        "BOUND", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
+        "ISTRIPLE", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS",
+        "SAMETERM", "LANGMATCHES", "HASLANG", "HASLANGDIR",
+    })
+
     def _call_term(self, e, df: DataFrame) -> Column:
         name = e["name"]
         args = e["args"]
+
+        if name in self._BOOLEAN_CALLS:
+            # boolean builtin in a TERM context (e.g. BIND(BOUND(?a) AS
+            # ?e)) → xsd:boolean literal; NULL (type error) propagates
+            # to a NULL struct so the BIND target stays unbound
+            b = self._call_bool(e, df)
+            v = F.when(b, F.lit("true")).when(~b, F.lit("false"))
+            return F.when(
+                v.isNotNull(),
+                _term_struct(F.lit("literal"), v, F.lit(""),
+                             F.lit(XSD + "boolean")),
+            )
 
         def lit_str(c: Column) -> Column:
             return _term_struct(F.lit("literal"), c, F.lit(""), F.lit(""))

@@ -32,6 +32,7 @@ from __future__ import annotations
 from typing import Optional
 
 XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
 
 ERROR = object()  # the third truth value
 
@@ -184,9 +185,18 @@ def _numeric(term) -> Optional[int]:
     return None
 
 
-def eval_expr(expr, sol):
+def eval_expr(expr, sol, triples=()):
     """→ True | False | ERROR (SPARQL 17.2 three-valued logic)."""
     op = expr[0]
+    if op == "exists":
+        # §18.6 substitution semantics: bind μ's variables inside the
+        # inner group, then test non-emptiness. Seeding the group
+        # evaluation with [μ] is equivalent for the pattern-only groups
+        # the fuzzer generates (and unbound μ-vars stay free, matching
+        # anything — the executor must NOT drop them in its semi-join).
+        inner = eval_group(expr[1], triples, seed=[sol])
+        found = len(inner) > 0
+        return (not found) if expr[2] else found
     if op == "and":
         a, b = eval_expr(expr[1], sol), eval_expr(expr[2], sol)
         if a is False or b is False:
@@ -238,19 +248,39 @@ def eval_expr(expr, sol):
         return False
     if op in ("lt", "gt"):
         na, nb = _numeric(a), _numeric(b)
-        if na is None or nb is None:
-            return ERROR  # non-numeric operand → type error
-        return na < nb if op == "lt" else na > nb
+        if na is not None and nb is not None:
+            return na < nb if op == "lt" else na > nb
+        simple = lambda t: (  # noqa: E731 — plain/xsd:string literal
+            t[0] == "literal" and t[2] is None and t[3] is None
+        )
+        if simple(a) and simple(b):
+            # fn:compare on simple literals: codepoint ordering
+            return a[1] < b[1] if op == "lt" else a[1] > b[1]
+        return ERROR  # any other pairing → type error
     raise AssertionError(f"unknown expr {expr}")
+
+
+def eval_term_expr(expr, sol, triples=()):
+    """Expression → term tuple, or None on unbound-var / type ERROR
+    (BIND then leaves the target unbound, §18.2.2.6 Extend)."""
+    if isinstance(expr, tuple) and expr[0] == "var":
+        return sol.get(expr[1])
+    if isinstance(expr, tuple) and expr[0] in ("iri", "literal", "bnode"):
+        return expr
+    b = eval_expr(expr, sol, triples)
+    if b is ERROR:
+        return None
+    return ("literal", "true" if b else "false", None, XSD_BOOLEAN)
 
 
 # ---------------------------------------------------------------- groups
 
-def eval_group(elements, triples):
+def eval_group(elements, triples, seed=None):
     """SPARQL 18.2.2 group translation: fold elements left-to-right
     (OPTIONAL → LeftJoin with the group-so-far), filters collected and
-    applied to the WHOLE group at the end."""
-    sols = [{}]
+    applied to the WHOLE group at the end.  ``seed`` pre-binds solutions
+    (used for EXISTS substitution)."""
+    sols = [dict(s) for s in seed] if seed is not None else [{}]
     filters = []
     for el in elements:
         kind = el[0]
@@ -276,12 +306,21 @@ def eval_group(elements, triples):
                 for row in el[2]
             ]
             sols = join(sols, vsols)
+        elif kind == "bind":
+            # Extend(Ω, var, expr): evaluated per solution IN ORDER
+            # (sees only bindings made before it); error → unbound
+            _, expr, var = el
+            out = []
+            for s in sols:
+                val = eval_term_expr(expr, s, triples)
+                out.append({**s, var: val} if val is not None else s)
+            sols = out
         elif kind == "filter":
             filters.append(el[1])
         else:
             raise AssertionError(f"unknown element {el}")
     for f in filters:
-        sols = [s for s in sols if eval_expr(f, s) is True]
+        sols = [s for s in sols if eval_expr(f, s, triples) is True]
     return sols
 
 
@@ -309,5 +348,7 @@ def group_vars(elements) -> set:
             out |= group_vars(el[1]) | group_vars(el[2])
         elif el[0] == "values":
             out |= set(el[1])
+        elif el[0] == "bind":
+            out.add(el[2])
         # "minus" contributes nothing: its variables are not in scope
     return out

@@ -89,7 +89,11 @@ atom_expr = st.one_of(
         st.sampled_from(["lt", "gt"]),
         var_operand,
         st.sampled_from(
-            VARS + [("literal", str(i), None, XSD_INTEGER) for i in (1, 2, 3)]
+            VARS
+            + [("literal", str(i), None, XSD_INTEGER) for i in (1, 2, 3)]
+            # plain-string comparands: exercise fn:compare string
+            # ordering AND the mixed-type → type-error arm
+            + [("literal", "a", None, None), ("literal", "b", None, None)]
         ),
     ),
 )
@@ -117,8 +121,52 @@ def values_element(draw):
     return ("values", vs, rows)
 
 
+# FILTER (NOT) EXISTS — inner groups restricted to plain patterns, where
+# §18.6 substitution == seeded evaluation (no inner filters that could
+# see outer bindings differently, no MINUS substitution wart); unbound
+# shared vars (via OPTIONAL upstream) exercise the NULL-is-wildcard
+# semi/anti-join split in the executor
+exists_el = st.builds(
+    lambda pats, neg: ("filter", ("exists", pats, neg)),
+    st.lists(pattern_el, min_size=1, max_size=2),
+    st.booleans(),
+)
+
+
+# BIND (Extend): targets e/f are disjoint from pattern vars a–d, so a
+# later pattern/VALUES use never shadows; `dedup_binds` enforces the
+# one-assignment in-scope rule the grammar would otherwise violate
+bind_el = st.builds(
+    lambda expr, var: ("bind", expr, var),
+    st.one_of(var_operand, st.sampled_from(S_IRIS + O_LITS), expr_st),
+    st.sampled_from(list("ef")),
+)
+
+
+def dedup_binds(elements, seen):
+    """Drop any BIND whose target was already bound by an earlier BIND
+    anywhere in tree order (SPARQL's in-scope restriction)."""
+    out = []
+    for el in elements:
+        if el[0] == "bind":
+            if el[2] in seen:
+                continue
+            seen.add(el[2])
+            out.append(el)
+        elif el[0] == "optional":
+            out.append(("optional", dedup_binds(el[1], seen)) )
+        elif el[0] == "minus":
+            out.append(("minus", dedup_binds(el[1], seen)))
+        elif el[0] == "union":
+            out.append(("union", dedup_binds(el[1], seen),
+                        dedup_binds(el[2], seen)))
+        else:
+            out.append(el)
+    return out
+
+
 def group_st(depth: int):
-    els = [pattern_el, filter_el, values_element()]
+    els = [pattern_el, filter_el, values_element(), exists_el, bind_el]
     if depth > 0:
         sub = group_st(depth - 1)
         els.append(st.builds(lambda g: ("optional", g), sub))
@@ -130,7 +178,7 @@ def group_st(depth: int):
 @st.composite
 def select_case(draw):
     data = draw(triples_st)
-    els = draw(group_st(2))
+    els = dedup_binds(draw(group_st(2)), set())
     gv = sorted(group_vars(els))
     if not gv:
         els = els + [draw(pattern_el.filter(
@@ -163,6 +211,9 @@ def sparql_token(term) -> str:
 
 def render_expr(expr) -> str:
     op = expr[0]
+    if op == "exists":
+        kw = "NOT EXISTS" if expr[2] else "EXISTS"
+        return f"{kw} {{ {render_group(expr[1])} }}"
     if op == "and":
         return f"({render_expr(expr[1])} && {render_expr(expr[2])})"
     if op == "or":
@@ -199,6 +250,12 @@ def render_group(elements) -> str:
             )
         elif el[0] == "minus":
             parts.append("MINUS { " + render_group(el[1]) + " }")
+        elif el[0] == "bind":
+            _, expr, var = el
+            inner = (sparql_token(expr) if isinstance(expr, tuple)
+                     and expr[0] in ("var", "iri", "literal")
+                     else render_expr(expr))
+            parts.append(f"BIND({inner} AS ?{var})")
         elif el[0] == "values":
             rows = " ".join(
                 "(" + " ".join(
