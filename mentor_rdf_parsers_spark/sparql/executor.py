@@ -843,7 +843,12 @@ class Executor:
             if op in ("=", "!="):
                 both_lit = (lt["kind"] == "literal") & (rt["kind"] == "literal")
                 eq = (
-                    F.when(both_num, lval == rval)   # value compare; bad lexical → NULL
+                    # unbound operand FIRST: the final `otherwise` must
+                    # never see it (unbound = unbound is an ERROR, not
+                    # false — stress fuzz on BIND((?a = ?a) AS ?e))
+                    F.when(lt.isNull() | rt.isNull(),
+                           F.lit(None).cast("boolean"))
+                    .when(both_num, lval == rval)    # value compare; bad lexical → NULL
                     .when(same_term, F.lit(True))    # RDFterm-equal
                     .when(both_simple, F.lit(False))  # same (string) type, ≠ values
                     .when(both_lit, F.lit(None).cast("boolean"))  # incomparable literals

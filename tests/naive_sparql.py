@@ -306,6 +306,26 @@ def eval_group(elements, triples, seed=None):
                 for row in el[2]
             ]
             sols = join(sols, vsols)
+        elif kind == "subselect":
+            # { SELECT [DISTINCT] vars WHERE { … } }: evaluate the inner
+            # group on its own (outer bindings are NOT visible — bottom-
+            # up evaluation), project to the chosen vars (projecting an
+            # unbound var leaves it absent), then join. DISTINCT dedups
+            # the PROJECTED multiset.
+            _, proj, inner_els, distinct = el
+            inner = [
+                {v: m[v] for v in proj if m.get(v) is not None}
+                for m in eval_group(inner_els, triples)
+            ]
+            if distinct:
+                seen, uniq = set(), []
+                for m in inner:
+                    key = tuple(sorted(m.items()))
+                    if key not in seen:
+                        seen.add(key)
+                        uniq.append(m)
+                inner = uniq
+            sols = join(sols, inner)
         elif kind == "bind":
             # Extend(Ω, var, expr): evaluated per solution IN ORDER
             # (sees only bindings made before it); error → unbound
@@ -350,5 +370,7 @@ def group_vars(elements) -> set:
             out |= set(el[1])
         elif el[0] == "bind":
             out.add(el[2])
+        elif el[0] == "subselect":
+            out |= set(el[1])  # only the projected vars are in scope
         # "minus" contributes nothing: its variables are not in scope
     return out

@@ -6,12 +6,17 @@ Round-5 extension of VERDICT r4 ask #6 (property-based hardening) from
 the parsers to EXECUTION: hypothesis draws a random small graph and a
 random SELECT query over the algebra core — BGP joins, OPTIONAL
 (left-join), UNION, MINUS (§18.5 domain-overlap semantics), VALUES
-with UNDEF cells, nested groups, three-valued FILTER logic (BOUND /
-sameTerm / RDFterm-equal / isIRI-isLiteral-isBlank / numeric
-comparison, combined with && || !), projection subsets, DISTINCT, and
-GROUP BY + COUNT(*/var/DISTINCT var) — renders it to SPARQL text, runs
-it through the full parse + Catalyst pipeline, and compares the result
-multiset against the naive evaluator's, shrinking any counterexample.
+with UNDEF cells, FILTER (NOT) EXISTS (§18.6 substitution, incl.
+unbound-shared-variable wildcards), BIND/Extend (error → unbound),
+subselects (projection scoping × DISTINCT multisets), nested groups,
+three-valued FILTER logic (BOUND / sameTerm / RDFterm-equal /
+isIRI-isLiteral-isBlank / numeric and string comparison, combined with
+&& || !), projection subsets, DISTINCT, GROUP BY +
+COUNT(*/var/DISTINCT var), and property paths — renders it to SPARQL
+text, runs it through the full parse + Catalyst pipeline, and compares
+the result multiset against the naive evaluator's, shrinking any
+counterexample.  (The update surface has its own differential:
+test_fuzz_sparql_updates_differential.py.)
 
 The two implementations share no code: the naive side never sees the
 query string and implements the algebra directly from the spec
@@ -165,8 +170,28 @@ def dedup_binds(elements, seen):
     return out
 
 
+# subselect: { SELECT [DISTINCT] vars { patterns [filter] } } — inner
+# group evaluates bottom-up (blind to outer bindings), projection hides
+# the rest, DISTINCT dedups the PROJECTED multiset before the outer join
+@st.composite
+def subselect_element(draw):
+    inner = draw(st.lists(pattern_el, min_size=1, max_size=2))
+    if draw(st.booleans()):
+        inner = inner + [draw(filter_el)]
+    from tests.naive_sparql import group_vars as _gv
+    gv = sorted(_gv(inner))
+    if not gv:
+        inner = inner + [draw(pattern_el.filter(
+            lambda el: any(s[0] == "var" for s in el[1])))]
+        gv = sorted(_gv(inner))
+    proj = draw(st.lists(st.sampled_from(gv), min_size=1,
+                         max_size=min(2, len(gv)), unique=True))
+    return ("subselect", proj, inner, draw(st.booleans()))
+
+
 def group_st(depth: int):
-    els = [pattern_el, filter_el, values_element(), exists_el, bind_el]
+    els = [pattern_el, filter_el, values_element(), exists_el, bind_el,
+           subselect_element()]
     if depth > 0:
         sub = group_st(depth - 1)
         els.append(st.builds(lambda g: ("optional", g), sub))
@@ -256,6 +281,14 @@ def render_group(elements) -> str:
                      and expr[0] in ("var", "iri", "literal")
                      else render_expr(expr))
             parts.append(f"BIND({inner} AS ?{var})")
+        elif el[0] == "subselect":
+            _, proj, inner, distinct = el
+            head = ("DISTINCT " if distinct else "") + " ".join(
+                f"?{v}" for v in proj)
+            parts.append(
+                "{ SELECT " + head + " WHERE { " + render_group(inner)
+                + " } }"
+            )
         elif el[0] == "values":
             rows = " ".join(
                 "(" + " ".join(
