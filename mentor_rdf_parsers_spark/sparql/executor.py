@@ -283,10 +283,18 @@ class Executor:
         bind(p, F.col("p_kind"), F.col("p"), F.lit(None).cast("string"), F.lit(None).cast("string"))
         bind(o, F.col("o_kind"), F.col("o"), F.col("o_lang"), F.col("o_dt"))
         if graph is not None and graph[0] == "var":
-            proj[graph[1]] = _term_struct(
+            gstruct = _term_struct(
                 F.coalesce(F.col("g_kind"), F.lit("iri")), F.col("g"),
                 F.lit(None).cast("string"), F.lit(None).cast("string"),
             )
+            if graph[1] in proj:
+                # GRAPH ?a { ?a … }: the variable names both the graph
+                # and a pattern slot — constrain, don't overwrite (same
+                # repeated-variable class the round-5 fuzz caught in
+                # patterns and paths)
+                cond.append(proj[graph[1]] == gstruct)
+            else:
+                proj[graph[1]] = gstruct
         for c in cond:
             t = t.where(c)
         if not proj:
@@ -593,11 +601,38 @@ class Executor:
             base = self.spark.range(1).select(F.lit(1).alias("__exists"))
             return self._apply_filter(base, node["expr"], graph)
         if t == "graph":
-            return self._compile_pattern(node["pattern"], node["name"])
+            inner = self._compile_pattern(node["pattern"], node["name"])
+            name = node["name"]
+            if name is not None and name[0] == "var":
+                # Graph(var, P) = ⋃ over named graphs g of
+                # Join(eval(D[g], P), {var→g}).  Patterns inside P bind
+                # the var per matched row, but pattern-free P (a BIND/
+                # VALUES/filter-only group) binds nothing, and UNION
+                # arms without patterns carry NULL — join with the
+                # DISTINCT named-graph names so those rows multiply
+                # over the graphs while bound rows pass through ×1 (the
+                # compat join treats NULL as wildcard and keeps the
+                # bound side).  The names frame is tiny → broadcast.
+                # (Round-5 differential fuzz.)
+                names = (
+                    self.triples.where(F.col("g").isNotNull())
+                    .select(_term_struct(
+                        F.coalesce(F.col("g_kind"), F.lit("iri")),
+                        F.col("g"),
+                        F.lit(None).cast("string"),
+                        F.lit(None).cast("string"),
+                    ).alias(name[1]))
+                    .distinct()
+                )
+                inner = self._join_bindings(inner, names)
+            return inner
         if t == "values":
             return self._values_df(node)
         if t == "subselect":
-            return self._run_select(node["query"], keep_structs=True)
+            # a subquery inherits the active graph (§13.3.1: GRAPH sets
+            # the context for everything inside, subselects included)
+            return self._run_select(node["query"], keep_structs=True,
+                                    graph=graph)
         if t == "minus":
             # parser collapses one-element groups, so `{ MINUS { P } }`
             # can arrive bare: Minus({μ0}, Ω) = {μ0} (see group handling)
@@ -1106,8 +1141,8 @@ class Executor:
         raise SparqlExecutionError(f"unsupported aggregate {name}")
 
     # ------------------------------------------------------------- queries
-    def _run_select(self, q, keep_structs: bool) -> DataFrame:
-        df = self._compile_pattern(q["where"], None)
+    def _run_select(self, q, keep_structs: bool, graph=None) -> DataFrame:
+        df = self._compile_pattern(q["where"], graph)
         if q.get("values"):
             vdf = self._values_df(q["values"])
             df = self._join_bindings(df, vdf)

@@ -198,21 +198,23 @@ def eval_expr(expr, sol, triples=()):
         found = len(inner) > 0
         return (not found) if expr[2] else found
     if op == "and":
-        a, b = eval_expr(expr[1], sol), eval_expr(expr[2], sol)
+        a, b = (eval_expr(expr[1], sol, triples),
+                eval_expr(expr[2], sol, triples))
         if a is False or b is False:
             return False
         if a is ERROR or b is ERROR:
             return ERROR
         return True
     if op == "or":
-        a, b = eval_expr(expr[1], sol), eval_expr(expr[2], sol)
+        a, b = (eval_expr(expr[1], sol, triples),
+                eval_expr(expr[2], sol, triples))
         if a is True or b is True:
             return True
         if a is ERROR or b is ERROR:
             return ERROR
         return False
     if op == "not":
-        a = eval_expr(expr[1], sol)
+        a = eval_expr(expr[1], sol, triples)
         return ERROR if a is ERROR else (not a)
 
     if op == "bound":
@@ -275,11 +277,13 @@ def eval_term_expr(expr, sol, triples=()):
 
 # ---------------------------------------------------------------- groups
 
-def eval_group(elements, triples, seed=None):
+def eval_group(elements, triples, seed=None, dataset=None):
     """SPARQL 18.2.2 group translation: fold elements left-to-right
     (OPTIONAL → LeftJoin with the group-so-far), filters collected and
     applied to the WHOLE group at the end.  ``seed`` pre-binds solutions
-    (used for EXISTS substitution)."""
+    (used for EXISTS substitution).  ``triples`` is the ACTIVE graph;
+    ``dataset`` is ``{"named": {iri_term: [triple, ...]}}`` for GRAPH
+    elements (absent → no named graphs)."""
     sols = [dict(s) for s in seed] if seed is not None else [{}]
     filters = []
     for el in elements:
@@ -290,14 +294,15 @@ def eval_group(elements, triples, seed=None):
             _, s_slot, pth, o_slot = el
             sols = join(sols, match_path_pattern(s_slot, pth, o_slot, triples))
         elif kind == "optional":
-            sols = left_join(sols, eval_group(el[1], triples))
+            sols = left_join(sols, eval_group(el[1], triples, dataset=dataset))
         elif kind == "union":
             sols = join(
                 sols,
-                eval_group(el[1], triples) + eval_group(el[2], triples),
+                eval_group(el[1], triples, dataset=dataset)
+                + eval_group(el[2], triples, dataset=dataset),
             )
         elif kind == "minus":
-            sols = minus(sols, eval_group(el[1], triples))
+            sols = minus(sols, eval_group(el[1], triples, dataset=dataset))
         elif kind == "values":
             # el = ("values", [varname, ...], [row, ...]); an UNDEF cell
             # (None) binds nothing, so it's simply absent from the mapping
@@ -306,6 +311,27 @@ def eval_group(elements, triples, seed=None):
                 for row in el[2]
             ]
             sols = join(sols, vsols)
+        elif kind == "graph":
+            # GRAPH g { P } (§13.3): constant IRI → evaluate P over that
+            # named graph (empty when absent); variable → union over all
+            # named graphs with the variable bound to the graph name
+            # (constraining, not overwriting, when P also binds it)
+            _, gslot, inner_els = el
+            named = (dataset or {}).get("named", {})
+            if gslot[0] == "var":
+                gsols = []
+                for gname, gtriples in named.items():
+                    for m in eval_group(inner_els, gtriples,
+                                        dataset=dataset):
+                        if gslot[1] in m:
+                            if m[gslot[1]] == gname:
+                                gsols.append(m)
+                        else:
+                            gsols.append({**m, gslot[1]: gname})
+            else:
+                gsols = eval_group(inner_els, named.get(gslot, []),
+                                   dataset=dataset)
+            sols = join(sols, gsols)
         elif kind == "subselect":
             # { SELECT [DISTINCT] vars WHERE { … } }: evaluate the inner
             # group on its own (outer bindings are NOT visible — bottom-
@@ -315,7 +341,7 @@ def eval_group(elements, triples, seed=None):
             _, proj, inner_els, distinct = el
             inner = [
                 {v: m[v] for v in proj if m.get(v) is not None}
-                for m in eval_group(inner_els, triples)
+                for m in eval_group(inner_els, triples, dataset=dataset)
             ]
             if distinct:
                 seen, uniq = set(), []
@@ -344,10 +370,11 @@ def eval_group(elements, triples, seed=None):
     return sols
 
 
-def eval_select(elements, triples, project, distinct=False):
+def eval_select(elements, triples, project, distinct=False,
+                dataset=None):
     """→ multiset (sorted list) of projected row tuples; each cell is
     the term tuple or None when unbound."""
-    sols = eval_group(elements, triples)
+    sols = eval_group(elements, triples, dataset=dataset)
     rows = [tuple(s.get(v) for v in project) for s in sols]
     if distinct:
         rows = list(set(rows))
@@ -372,5 +399,9 @@ def group_vars(elements) -> set:
             out.add(el[2])
         elif el[0] == "subselect":
             out |= set(el[1])  # only the projected vars are in scope
+        elif el[0] == "graph":
+            out |= group_vars(el[2])
+            if el[1][0] == "var":
+                out.add(el[1][1])
         # "minus" contributes nothing: its variables are not in scope
     return out

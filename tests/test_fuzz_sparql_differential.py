@@ -68,6 +68,30 @@ triples_st = st.lists(
     unique=True,
 )
 
+# dataset with named graphs: (s, p, o, g) where g=None → default graph
+G_IRIS = [("iri", "http://ex/g0"), ("iri", "http://ex/g1")]
+quads_st = st.lists(
+    st.tuples(
+        st.sampled_from(S_IRIS + S_BNODES),
+        st.sampled_from(P_IRIS),
+        st.sampled_from(O_TERMS),
+        st.sampled_from([None] + G_IRIS),
+    ),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+def split_dataset(quads):
+    """(default_triples, {"named": {g: triples}}) from 4-tuple quads."""
+    default = [q[:3] for q in quads if q[3] is None]
+    named: dict = {}
+    for q in quads:
+        if q[3] is not None:
+            named.setdefault(q[3], []).append(q[:3])
+    return default, {"named": named}
+
 # pattern slots: blank-node constants are unrenderable in SPARQL (a
 # bnode in a query is a fresh variable), so constants are IRIs/literals
 s_slot = st.sampled_from(VARS + S_IRIS)
@@ -289,6 +313,11 @@ def render_group(elements) -> str:
                 "{ SELECT " + head + " WHERE { " + render_group(inner)
                 + " } }"
             )
+        elif el[0] == "graph":
+            parts.append(
+                "GRAPH " + sparql_token(el[1]) + " { "
+                + render_group(el[2]) + " }"
+            )
         elif el[0] == "values":
             rows = " ".join(
                 "(" + " ".join(
@@ -313,13 +342,18 @@ TRIPLE_COLS = (
 
 
 def to_df(spark, data):
-    rows = [
-        ("doc", s[0], s[1], "iri", p[1], o[0], o[1],
-         o[2] if o[0] == "literal" else None,
-         o[3] if o[0] == "literal" else None,
-         None, None, None, None, None)
-        for (s, p, o) in data
-    ]
+    rows = []
+    for t in data:
+        s, p, o = t[0], t[1], t[2]
+        g = t[3] if len(t) > 3 else None
+        rows.append(
+            ("doc", s[0], s[1], "iri", p[1], o[0], o[1],
+             o[2] if o[0] == "literal" else None,
+             o[3] if o[0] == "literal" else None,
+             "iri" if g is not None else None,
+             g[1] if g is not None else None,
+             None, None, None)
+        )
     # single-partition + eager cache: a generated query scans this table
     # once per triple pattern (and a CartesianProduct plan re-computes
     # the right side per left partition) — without the cache every one
@@ -424,6 +458,57 @@ def test_group_count_matches_naive(spark, case):
          for r in out),
         key=repr,
     )
+    assert actual == expected, query
+
+
+# --- named graphs ------------------------------------------------------------
+
+# GRAPH g { … }: constant IRI selects one named graph; a variable ranges
+# over the named graphs, binding (or CONSTRAINING, when the inner group
+# also binds it — hence ?a as a graph slot) the graph name. Inner groups
+# reuse the full grammar, so subselects/EXISTS/BIND inherit the context.
+graph_slot = st.sampled_from([("var", "a"), ("var", "g")] + G_IRIS)
+
+
+def graph_group_st(depth: int):
+    inner = group_st(depth)
+    graph_el_st = st.builds(
+        lambda gs, g: ("graph", gs, g), graph_slot, inner)
+    return st.lists(
+        st.one_of(pattern_el, filter_el, graph_el_st),
+        min_size=1, max_size=3,
+    )
+
+
+@st.composite
+def graph_case(draw):
+    quads = draw(quads_st)
+    els = dedup_binds(draw(graph_group_st(1)), set())
+    gv = sorted(group_vars(els))
+    if not gv:
+        els = els + [draw(pattern_el.filter(
+            lambda el: any(s[0] == "var" for s in el[1])))]
+        gv = sorted(group_vars(els))
+    proj = draw(st.lists(st.sampled_from(gv), min_size=1,
+                         max_size=len(gv), unique=True))
+    return quads, els, proj
+
+
+@given(graph_case())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_graph_matches_naive(spark, case):
+    quads, els, proj = case
+    default, dataset = split_dataset(quads)
+    expected = eval_select(els, default, proj, dataset=dataset)
+    query = (
+        "SELECT " + " ".join(f"?{v}" for v in proj)
+        + " WHERE { " + render_group(els) + " }"
+    )
+    actual = run_executor(spark, quads, query, proj)
     assert actual == expected, query
 
 
