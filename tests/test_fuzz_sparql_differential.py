@@ -583,6 +583,61 @@ def test_path_matches_naive(spark, case):
     assert actual == expected, query
 
 
+# --- ASK + solution modifiers ------------------------------------------------
+
+@given(select_case())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_ask_matches_naive(spark, case):
+    """ASK over the full SELECT grammar: true iff the group has ≥1
+    solution."""
+    data, els, _proj, _distinct = case
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    expected = len(eval_group(els, data)) > 0
+    query = "ASK { " + render_group(els) + " }"
+    out = execute(query, to_df(spark, data), simplify=False).collect()
+    assert len(out) == 1
+    actual = out[0][0]
+    assert actual == expected, query
+
+
+@st.composite
+def limit_case(draw):
+    data, els, proj, _ = draw(select_case())
+    return data, els, proj, draw(st.integers(0, 6)), draw(st.integers(0, 4))
+
+
+@given(limit_case())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_limit_offset_count_and_containment(spark, case):
+    """Without ORDER BY the slice is engine-chosen, but its SIZE is
+    fully determined — count = max(0, min(limit, total - offset)) — and
+    every returned row must occur in the full multiset with at least
+    its returned multiplicity."""
+    from collections import Counter
+
+    data, els, proj, limit, offset = case
+    full = eval_select(els, data, proj)
+    query = (
+        "SELECT " + " ".join(f"?{v}" for v in proj)
+        + " WHERE { " + render_group(els) + " }"
+        + f" OFFSET {offset} LIMIT {limit}"
+    )
+    actual = run_executor(spark, data, query, proj)
+    expected_n = max(0, min(limit, len(full) - offset))
+    assert len(actual) == expected_n, query
+    have, want = Counter(map(repr, actual)), Counter(map(repr, full))
+    assert all(have[k] <= want[k] for k in have), query
+
+
 # --- determinism anchor (non-hypothesis, pins one known answer) -------------
 
 def test_differential_anchor(spark):
