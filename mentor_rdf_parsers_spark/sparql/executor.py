@@ -1256,7 +1256,16 @@ class Executor:
                 st = self._expr_term(s, df) if s[0] == "var" else _const_term(s)
                 pt = self._expr_term(p, df) if p[0] == "var" else _const_term(p)
                 ot = self._expr_term(o, df) if o[0] == "var" else _const_term(o)
-                outs.append(df.select(
+                # §16.2: a solution that leaves a template variable
+                # unbound, or instantiates an invalid RDF triple
+                # (literal subject, non-IRI predicate), contributes
+                # nothing — drop, don't emit NULL/malformed rows
+                # (round-5 differential fuzz)
+                keep = (
+                    st.isNotNull() & pt.isNotNull() & ot.isNotNull()
+                    & (st["kind"] != "literal") & (pt["kind"] == "iri")
+                )
+                outs.append(df.where(keep).select(
                     st["kind"].alias("s_kind"), st["v"].alias("s"),
                     pt["v"].alias("p"),
                     ot["kind"].alias("o_kind"), ot["v"].alias("o"),

@@ -638,6 +638,70 @@ def test_limit_offset_count_and_containment(spark, case):
     assert all(have[k] <= want[k] for k in have), query
 
 
+# --- CONSTRUCT ---------------------------------------------------------------
+
+template_t = st.tuples(
+    st.sampled_from(VARS + S_IRIS),
+    st.sampled_from(VARS + P_IRIS),
+    st.sampled_from(VARS + S_IRIS + O_LITS),
+)
+
+
+@st.composite
+def construct_case(draw):
+    data, els, _proj, _distinct = draw(select_case())
+    template = draw(st.lists(template_t, min_size=1, max_size=2))
+    return data, els, template
+
+
+def naive_construct(template, sols) -> set:
+    """§16.2: substitute each solution into the template; skip triples
+    with an unbound variable or an invalid shape (literal subject,
+    non-IRI predicate); the result is a GRAPH (set)."""
+    out = set()
+    for m in sols:
+        for (s, p, o) in template:
+            sv = m.get(s[1]) if s[0] == "var" else s
+            pv = m.get(p[1]) if p[0] == "var" else p
+            ov = m.get(o[1]) if o[0] == "var" else o
+            if sv is None or pv is None or ov is None:
+                continue
+            if sv[0] == "literal" or pv[0] != "iri":
+                continue
+            out.add((sv, pv, ov))
+    return out
+
+
+@given(construct_case())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_construct_matches_naive(spark, case):
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    data, els, template = case
+    expected = naive_construct(template, eval_group(els, data))
+    query = (
+        "CONSTRUCT { "
+        + " ".join(" ".join(sparql_token(t) for t in tr) + " ."
+                   for tr in template)
+        + " } WHERE { " + render_group(els) + " }"
+    )
+    out = execute(query, to_df(spark, data), simplify=False).collect()
+    actual = set()
+    for r in out:
+        s = (r["s_kind"], r["s"])
+        p = ("iri", r["p"])
+        if r["o_kind"] == "literal":
+            o = ("literal", r["o"], r["o_lang"] or None, r["o_dt"] or None)
+        else:
+            o = (r["o_kind"], r["o"])
+        actual.add((s, p, o))
+    assert actual == expected, query
+
+
 # --- determinism anchor (non-hypothesis, pins one known answer) -------------
 
 def test_differential_anchor(spark):
