@@ -46,12 +46,31 @@ pattern_t = st.tuples(
     st.sampled_from([VAR_C] + S_IRIS + O_LITS),
 )
 
+# MODIFY: DELETE {tmpl} INSERT {tmpl} WHERE {patterns} — both templates
+# instantiated from the SAME WHERE binding set against the pre-update
+# graph, deletes applied before inserts (§3.1.3)
+template_t = st.tuples(
+    st.sampled_from([VAR_A] + S_IRIS),
+    st.sampled_from([VAR_B] + P_IRIS),
+    st.sampled_from([VAR_C] + S_IRIS + O_LITS),
+)
+
+
+@st.composite
+def modify_op(draw):
+    dels = draw(st.lists(template_t, min_size=0, max_size=2))
+    ins = draw(st.lists(template_t, min_size=0 if dels else 1, max_size=2))
+    where = draw(st.lists(pattern_t, min_size=1, max_size=2))
+    return ("modify", dels, ins, where)
+
+
 op_st = st.one_of(
     st.builds(lambda ts: ("insert_data", ts),
               st.lists(ground_triple, min_size=1, max_size=3)),
     st.builds(lambda ts: ("delete_data", ts),
               st.lists(ground_triple, min_size=1, max_size=3)),
     st.builds(lambda p: ("delete_where", p), pattern_t),
+    modify_op(),
 )
 
 
@@ -60,15 +79,26 @@ def update_case(draw):
     return draw(triples_st), draw(st.lists(op_st, min_size=1, max_size=3))
 
 
+def _tmpl_text(triples) -> str:
+    return " ".join(
+        " ".join(sparql_token(t) for t in triple) + " ." for triple in triples
+    )
+
+
 def render_op(op) -> str:
     kind = op[0]
     if kind in ("insert_data", "delete_data"):
-        body = " ".join(
-            " ".join(sparql_token(t) for t in triple) + " ."
-            for triple in op[1]
-        )
         kw = "INSERT DATA" if kind == "insert_data" else "DELETE DATA"
-        return f"{kw} {{ {body} }}"
+        return f"{kw} {{ {_tmpl_text(op[1])} }}"
+    if kind == "modify":
+        _, dels, ins, where = op
+        parts = []
+        if dels:
+            parts.append("DELETE { " + _tmpl_text(dels) + " }")
+        if ins:
+            parts.append("INSERT { " + _tmpl_text(ins) + " }")
+        parts.append("WHERE { " + _tmpl_text(where) + " }")
+        return " ".join(parts)
     body = " ".join(sparql_token(t) for t in op[1]) + " ."
     return f"DELETE WHERE {{ {body} }}"
 
@@ -79,6 +109,16 @@ def model_apply(graph: set, op) -> set:
         return graph | set(op[1])
     if kind == "delete_data":
         return graph - set(op[1])
+    if kind == "modify":
+        from tests.naive_sparql import eval_group
+        from tests.test_fuzz_sparql_differential import naive_construct
+
+        _, dels, ins, where = op
+        sols = eval_group([("pattern", p) for p in where], sorted(graph, key=repr))
+        # both templates instantiate from the PRE-update bindings;
+        # deletes apply before inserts (invalid/unbound instantiations
+        # drop, same rules as CONSTRUCT)
+        return (graph - naive_construct(dels, sols)) | naive_construct(ins, sols)
     # delete_where: remove every triple the pattern matches
     pattern = op[1]
     doomed = set()
