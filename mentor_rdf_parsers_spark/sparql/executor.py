@@ -1149,6 +1149,17 @@ class Executor:
         mods = q.get("modifiers", {})
         proj = q["projection"]
 
+        # a subselect under GRAPH ?var evaluates PER NAMED GRAPH
+        # (§13.3): its projection must keep the graph variable so the
+        # outer join stays correlated to the active graph — dropping it
+        # silently cross-joined rows from ALL graphs (round-5 soak
+        # fuzz).  DISTINCT then dedups (row, graph) = per-graph
+        # distinct, and aggregates group per graph, as the spec's
+        # union-over-graphs requires.
+        gcarry = None
+        if graph is not None and graph[0] == "var" and graph[1] in df.columns:
+            gcarry = graph[1]
+
         group_by = mods.get("group_by")
         has_agg = any(p[0] == "expr" and _has_agg(p[1]) for p in proj if proj != "*")
         if group_by or has_agg:
@@ -1173,6 +1184,9 @@ class Executor:
                     expr, alias = p[1], p[2]
                     aggs.append(self._agg_expr_struct(expr, df).alias(alias))
                     out_names.append(alias)
+            if gcarry and gcarry not in keys:
+                keys.append(gcarry)
+                out_names.append(gcarry)
             gdf = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
             df = gdf.agg(*aggs) if aggs else gdf.agg(F.count("*").alias("__n")).drop("__n")
             for h in mods.get("having", []):
@@ -1184,11 +1198,16 @@ class Executor:
                 df = df.select(*cols) if cols else df
             else:
                 sel = []
+                names = set()
                 for p in proj:
                     if p[0] == "var":
                         sel.append(self._col(df, p[1]).alias(p[1]))
+                        names.add(p[1])
                     else:
                         sel.append(self._expr_term(p[1], df).alias(p[2]))
+                        names.add(p[2])
+                if gcarry and gcarry not in names:
+                    sel.append(F.col(gcarry).alias(gcarry))
                 df = df.select(*sel)
 
         if q.get("distinct") or q.get("reduced"):

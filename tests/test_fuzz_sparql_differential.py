@@ -638,6 +638,70 @@ def test_limit_offset_count_and_containment(spark, case):
     assert all(have[k] <= want[k] for k in have), query
 
 
+# --- numeric aggregates ------------------------------------------------------
+
+INT_LITS = [("literal", str(i), None, XSD_INTEGER) for i in (1, 2, 3, 5)]
+
+# data where predicate p2's objects are ALWAYS integers, so an
+# aggregate over (?k, p2, ?v) never sees a non-numeric input (mixed-
+# type aggregation is engine-defined; all-numeric is spec-determined)
+num_triples_st = st.lists(
+    st.tuples(
+        st.sampled_from(S_IRIS),
+        st.just(P_IRIS[2]),
+        st.sampled_from(INT_LITS),
+    ),
+    min_size=1,
+    max_size=10,
+    unique=True,
+)
+
+
+@st.composite
+def num_agg_case(draw):
+    data = draw(num_triples_st)
+    fn = draw(st.sampled_from(["SUM", "MIN", "MAX", "AVG"]))
+    return data, fn
+
+
+@given(num_agg_case())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_numeric_agg_matches_naive(spark, case):
+    """Per-key SUM/MIN/MAX/AVG over guaranteed-numeric groups, compared
+    numerically (the engine's string rendering of the number is its
+    own; the VALUE is spec-determined)."""
+    data, fn = case
+    from mentor_rdf_parsers_spark.sparql.executor import execute
+
+    pred = P_IRIS[2][1]
+    query = (
+        f"SELECT ?a ({fn}(?v) AS ?x) WHERE {{ ?a <{pred}> ?v . }} "
+        "GROUP BY ?a"
+    )
+    groups: dict = {}
+    for (s, _p, o) in data:
+        groups.setdefault(s, []).append(int(o[1]))
+    expected = {}
+    for k, vals in groups.items():
+        expected[k] = {
+            "SUM": sum(vals), "MIN": min(vals), "MAX": max(vals),
+            "AVG": sum(vals) / len(vals),
+        }[fn]
+    out = execute(query, to_df(spark, data), simplify=False).collect()
+    actual = {}
+    for r in out:
+        k = struct_to_term(r["a"])
+        x = r["x"]
+        actual[k] = float(x["v"] if hasattr(x, "asDict") else x)
+    assert set(actual) == set(expected), query
+    for k in expected:
+        assert actual[k] == float(expected[k]), (query, k)
+
+
 # --- CONSTRUCT ---------------------------------------------------------------
 
 template_t = st.tuples(
